@@ -1,0 +1,80 @@
+"""voice2pose main program — CLI-compatible with the reference's ``main.py:14-69``.
+
+Same six flags (--config_file, --resume_from, --test_only, --demo_input, --checkpoint,
+--tag) plus trailing yacs-style KEY VALUE overrides; mode precedence demo > test >
+train.  TPU-era distribution: instead of mp.spawn + NCCL process groups
+(reference main.py:53-67), one process drives every local device through a jitted
+step over a data mesh; multi-host slices initialize jax.distributed (SYS.DISTRIBUTED)
+and shard data per process.
+"""
+
+from __future__ import annotations
+
+import argparse
+import warnings
+
+warnings.simplefilter("ignore")
+
+from speechdrivestemplates_tpu.config import get_cfg_defaults
+from speechdrivestemplates_tpu.pipelines import get_pipeline
+
+
+def setup_config():
+    parser = argparse.ArgumentParser(description="voice2pose main program")
+    parser.add_argument("--config_file", default="", metavar="FILE",
+                        help="path to config file")
+    parser.add_argument("--resume_from", type=str, default=None,
+                        help="the checkpoint to resume from")
+    parser.add_argument("--test_only", action="store_true",
+                        help="perform testing and evaluation only")
+    parser.add_argument("--demo_input", type=str, default=None,
+                        help="path to input for demo")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="the checkpoint to test with")
+    parser.add_argument("--tag", type=str, default="",
+                        help="tag for the experiment")
+    parser.add_argument(
+        "opts",
+        help="Modify config options using the command-line",
+        default=None,
+        nargs=argparse.REMAINDER,
+    )
+    args = parser.parse_args()
+
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(args.config_file)
+    cfg.merge_from_list(args.opts)
+    cfg.freeze()
+    return args, cfg
+
+
+def run(args, cfg):
+    pipeline = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
+
+    cfg_name = args.config_file.split("/")[-1].split(".")[0]
+    if args.demo_input:
+        exp_tag = cfg_name + "-DEMO-" + args.tag
+        pipeline.demo(cfg, exp_tag, args.checkpoint, args.demo_input)
+    elif args.test_only:
+        exp_tag = cfg_name + "-TEST-" + args.tag
+        pipeline.test(cfg, exp_tag, args.checkpoint)
+    else:
+        exp_tag = cfg_name + "-TRAIN-" + args.tag
+        pipeline.train(cfg, exp_tag, args.resume_from)
+
+
+def main():
+    args, cfg = setup_config()
+
+    if cfg.SYS.DISTRIBUTED:
+        # Multi-host TPU slice: every host runs this same program; jax.distributed
+        # wires the DCN mesh (replaces MASTER_ADDR/PORT + NCCL rendezvous).
+        import jax
+
+        jax.distributed.initialize()
+
+    run(args, cfg)
+
+
+if __name__ == "__main__":
+    main()

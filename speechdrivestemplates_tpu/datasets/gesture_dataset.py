@@ -1,0 +1,268 @@
+"""Gesture dataset: per-clip npz archives + a clips csv, per-speaker z-scored poses.
+
+Behavioral port of the reference's ``core/datasets/gesture_dataset.py:14-236`` with a
+TPU-era loader design: no torch DataLoader — a plain numpy item pipeline plus a
+thread-prefetched batcher (``DataLoader`` below) that hands the jitted train step
+host-contiguous numpy batches (the step does its own device put / sharding).
+
+Splits (reference :22-35): 'train'/'val' filter the ``processed_137.csv`` rows on the
+``dataset`` column ('train' / 'dev'); 'demo' takes a wav path, a space-separated list
+of wav paths, or a directory to sample from.
+
+Item pipeline (reference :85-121): npz load -> crop/pad audio to AUDIO_LENGTH ->
+first NUM_FRAMES poses (T,3,137) -> drop lower body (->122) -> root-center & drop root
+(->121) -> optional global->parted re-rooting -> split coords/scores -> per-speaker
+z-score.  The inverse (``get_final_results``) and the parted->global-renormalize
+transform used by the FGD encoder live in ``ops.pose``; thin methods here bind them to
+this dataset's speaker stats for API parity.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from ..ops import pose as pose_ops
+from ..utils.audio import crop_pad_audio, load_wav, parse_audio_length
+from .speakers_stat import get_speaker_stat
+
+
+class GestureDataset:
+    """Map-style dataset mirroring the reference's constructor signature
+    (root_dir, speaker, split, cfg, demo_input=None)."""
+
+    def __init__(self, root_dir: str, speaker: str, split: str, cfg,
+                 demo_input: Optional[str] = None):
+        self.cfg = cfg.DATASET
+        self.full_cfg = cfg
+        assert speaker is not None, 'The speaker is "None"!'
+        self.root_dir = os.path.join(root_dir, speaker)
+        self.split = split
+        self.speaker = speaker
+
+        if split == "train":
+            self.clips = self._read_csv()
+            self.clips = self.clips[self.clips["dataset"] == "train"].reset_index(drop=True)
+        elif split == "val":
+            self.clips = self._read_csv()
+            self.clips = self.clips[self.clips["dataset"] == "dev"].reset_index(drop=True)
+        elif split == "demo":
+            if len(demo_input.split()) == 1 and os.path.isdir(demo_input):
+                file_list = os.listdir(demo_input)
+                np.random.shuffle(file_list)
+                file_list = [f for f in file_list[:1000] if f.split(".")[-1] == "wav"]
+                file_list = file_list[: cfg.DEMO.NUM_SAMPLES]
+                self.clips = [os.path.join(demo_input, f) for f in file_list]
+            else:
+                self.clips = demo_input.split()
+        else:
+            raise NotImplementedError(f"Unknown split: {split}")
+
+        if self.cfg.SUBSET is not None:
+            self.clips = self.clips[: self.cfg.SUBSET]
+
+        self._cache: Dict[int, Dict[str, Any]] = {}
+        self._cache_lock = threading.Lock()
+
+    # -- plumbing --------------------------------------------------------------
+    def _read_csv(self) -> pd.DataFrame:
+        csv_path = os.path.join(self.root_dir, "processed_137.csv")
+        if not os.path.exists(csv_path):
+            raise FileNotFoundError(f"No csv file: {csv_path}")
+        return pd.read_csv(csv_path)
+
+    def __len__(self) -> int:
+        return len(self.clips)
+
+    def get_speaker_stat(self, speaker: str, num_kp: int, parted: bool):
+        return get_speaker_stat(speaker, num_kp, parted)
+
+    # -- item pipeline -----------------------------------------------------------
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        if self.split == "demo":
+            return self._demo_item(idx)
+
+        if self.cfg.CACHING:
+            with self._cache_lock:
+                if idx in self._cache:
+                    return self._cache[idx]
+
+        clip = self.clips.iloc[idx]
+        speaker = clip["speaker"]
+        arr = np.load(os.path.join(self.root_dir, clip["pose_fn"]))
+
+        audio = np.asarray(arr["audio"], dtype=np.float32)
+        audio_length, num_frames = parse_audio_length(
+            self.cfg.AUDIO_LENGTH, self.cfg.AUDIO_SR, self.cfg.FPS)
+        audio = crop_pad_audio(audio, audio_length)
+
+        poses_with_score = np.asarray(
+            arr["pose"][: self.cfg.NUM_FRAMES, ...], dtype=np.float32)  # (T, 3, 137)
+        poses_with_score = pose_ops.remove_unused_kp(poses_with_score)
+        rel = pose_ops.absolute_to_relative(poses_with_score)
+        if self.cfg.HIERARCHICAL_POSE:
+            rel = pose_ops.global_to_parted(rel)
+
+        relative_poses = rel[:, :2, :]
+        poses_score = np.repeat(rel[:, 2:, :], 2, axis=1)
+
+        stat = self.get_speaker_stat(speaker, relative_poses.shape[-1],
+                                     parted=self.cfg.HIERARCHICAL_POSE)
+        normalized = pose_ops.normalize_poses(
+            relative_poses, stat["mean"], stat["std"], self.cfg.NUM_LANDMARKS
+        ).astype(np.float32)
+
+        sample = {
+            "speaker": speaker,
+            "audio": audio.astype(np.float32),
+            "num_frames": np.int32(num_frames),
+            "clip_index": np.int32(idx),
+            "poses": normalized,
+            "poses_score": poses_score.astype(np.float32),
+            "speaker_stat": {k: np.asarray(v) for k, v in stat.items()},
+            "anchors": {
+                "hand_root_l": pose_ops.HAND_ROOT_L,
+                "hand_root_r": pose_ops.HAND_ROOT_R,
+                "head_root": pose_ops.HEAD_ROOT,
+            },
+        }
+        # When training non-hierarchically, the FGD path re-normalizes predictions in
+        # the *global* stats space inside the jitted step (reference
+        # gesture_dataset.py:222-236) — ship those stats with the batch.
+        if not self.cfg.HIERARCHICAL_POSE:
+            sample["speaker_stat_global"] = {
+                k: np.asarray(v)
+                for k, v in self.get_speaker_stat(speaker, 121, False).items()}
+
+        if self.cfg.CACHING:
+            with self._cache_lock:
+                self._cache[idx] = sample
+        return sample
+
+    def _demo_item(self, idx: int) -> Dict[str, Any]:
+        feed = self.clips[idx]
+        if feed.split(".")[-1] not in ("wav", "m4a"):
+            raise NotImplementedError(
+                f"Audio format {feed.split('.')[-1]} is not supported.")
+        audio = load_wav(feed, self.cfg.AUDIO_SR)
+        if self.cfg.MAX_DEMO_LENGTH is not None:
+            max_length = self.cfg.MAX_DEMO_LENGTH * self.cfg.AUDIO_SR
+            if len(audio) > max_length:
+                start = np.random.randint(0, len(audio) - max_length)
+                audio = audio[start: start + max_length]
+        audio_length, num_frames = parse_audio_length(
+            len(audio), self.cfg.AUDIO_SR, self.cfg.FPS)
+        audio = crop_pad_audio(audio, audio_length)
+        stat = self.get_speaker_stat(self.speaker, 121, self.cfg.HIERARCHICAL_POSE)
+        return {
+            "speaker": self.speaker,
+            "audio": audio.astype(np.float32),
+            "clip_index": np.int32(idx),
+            "speaker_stat": {k: np.asarray(v) for k, v in stat.items()},
+            "num_frames": np.int32(num_frames),
+        }
+
+    # -- inverse transforms bound to this dataset (API parity) -------------------
+    def get_final_results(self, poses, speaker_stat):
+        return pose_ops.get_final_results(
+            poses, speaker_stat["mean"], speaker_stat["std"],
+            speaker_stat["scale_factor"], self.cfg.HIERARCHICAL_POSE,
+            self.cfg.NUM_LANDMARKS)
+
+    def transform_normalized_parted2global(self, poses, speaker):
+        sp = speaker[0] if isinstance(speaker, (list, tuple, np.ndarray)) else speaker
+        g = self.get_speaker_stat(sp, poses.shape[-1], False)
+        p = self.get_speaker_stat(sp, poses.shape[-1], True)
+        return pose_ops.transform_normalized_parted2global(
+            poses, p["mean"], p["std"], g["mean"], g["std"], self.cfg.NUM_LANDMARKS)
+
+
+def _collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack a list of sample dicts into a batch dict (nested one level)."""
+    out: Dict[str, Any] = {}
+    for key, v0 in samples[0].items():
+        if isinstance(v0, dict):
+            out[key] = {k: np.stack([np.asarray(s[key][k]) for s in samples])
+                        for k in v0}
+        elif isinstance(v0, str):
+            out[key] = [s[key] for s in samples]
+        else:
+            out[key] = np.stack([np.asarray(s[key]) for s in samples])
+    return out
+
+
+class DataLoader:
+    """Minimal thread-prefetched batch loader (replaces torch DataLoader +
+    DistributedSampler; per-host sharding handled by ``shard`` offsets).
+
+    With ``num_shards > 1`` each host iterates a disjoint, epoch-shuffled subset —
+    the jax.process_index()-based analog of DistributedSampler
+    (reference trainer.py:71,90).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = False, seed: int = 0,
+                 num_shards: int = 1, shard_index: int = 0,
+                 prefetch: int = 2, num_workers: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.prefetch = max(1, prefetch)
+        self.num_workers = num_workers
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(idx)
+        if self.num_shards > 1:
+            # pad to a multiple of shards so every host sees the same batch count
+            per = -(-len(idx) // self.num_shards)
+            pad = per * self.num_shards - len(idx)
+            if pad:
+                idx = np.concatenate([idx, idx[:pad]])
+            idx = idx[self.shard_index::self.num_shards]
+        return idx
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        indices = self._indices()
+        batches = [indices[i: i + self.batch_size]
+                   for i in range(0, len(indices), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for b in batches:
+                    q.put(_collate([self.dataset[int(i)] for i in b]))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item

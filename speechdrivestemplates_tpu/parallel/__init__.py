@@ -1,0 +1,8 @@
+from .mesh import (  # noqa: F401
+    get_data_mesh,
+    shard_batch,
+    replicate,
+    process_count,
+    process_index,
+    is_master_process,
+)

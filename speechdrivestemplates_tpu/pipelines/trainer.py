@@ -1,0 +1,461 @@
+"""Training engine: experiment lifecycle, loops, logging, checkpointing.
+
+Mirrors the surface of the reference's abstract ``Trainer``
+(``core/pipelines/trainer.py:19-484``): ``train(cfg, exp_tag, resume_from)``,
+``test(cfg, exp_tag, checkpoint)``, ``demo(cfg, exp_tag, checkpoint, demo_input)``,
+per-split dataset setup, datetime-tagged experiment directories, resume/pretrain/eval
+checkpoint semantics, TensorBoard + file logging, and master-process-only I/O.
+
+TPU-era differences (by design, not omission):
+  - One process drives all local devices; "rank 0" gating becomes
+    ``jax.process_index() == 0`` (multi-host).  DistributedSampler is replaced by the
+    loader's per-process sharding.
+  - Checkpoints are orbax directories (``checkpoint_epoch-E_step-S/``) holding the
+    whole train-state pytree + a small metadata dict, rather than torch .pth pickles.
+    Resume restores model params, every optimizer state, and the epoch/step counters
+    and reuses the original experiment directory (reference trainer.py:172-184).
+  - Loss reduction across devices is implicit: metrics computed inside the jitted
+    step are means over the *global* (sharded) batch, so ``reduce_tensor_dict``
+    (reference trainer.py:323-327) has no equivalent work to do.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from abc import abstractmethod
+from datetime import datetime
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..datasets import DataLoader, get_dataset
+from ..parallel import get_data_mesh, is_master_process, process_count, process_index
+from ..utils.video import VideoWriter
+
+
+def _to_host_scalar(v) -> float:
+    return float(np.asarray(v))
+
+
+class Trainer:
+    def __init__(self, cfg) -> None:
+        self.cfg = cfg
+        self.optimizers: Dict[str, Any] = {}
+        self.train_dataloader = None
+        self.test_dataloader = None
+        self.tb_writer = None
+        self.mesh = get_data_mesh(cfg.SYS.MESH.DATA)
+
+    # -- identity ---------------------------------------------------------------
+    def get_rank(self) -> int:
+        return process_index()
+
+    def get_world_size(self) -> int:
+        return process_count()
+
+    def is_master_process(self) -> bool:
+        return is_master_process()
+
+    # -- logging ------------------------------------------------------------------
+    def setup_logger(self, base_path: str, exp_name: str) -> None:
+        root = logging.getLogger()
+        root.setLevel(logging.INFO)
+        fmt = logging.Formatter("%(asctime)s [%(levelname)-0.5s] %(message)s")
+        log_path = os.path.join(base_path, f"{exp_name}.log")
+        fh = logging.FileHandler(log_path)
+        fh.setFormatter(fmt)
+        root.addHandler(fh)
+        ch = logging.StreamHandler()
+        ch.setFormatter(fmt)
+        root.addHandler(ch)
+        logging.info("log path: %s", log_path)
+
+    # -- data ---------------------------------------------------------------------
+    def setup_dataset(self, cfg, split: str, demo_input: Optional[str] = None) -> None:
+        if self.is_master_process():
+            print("Setting up dataset...")
+        ds_cls = get_dataset(cfg.DATASET.NAME)
+        nshards, shard = self.get_world_size(), self.get_rank()
+
+        if split == "train":
+            self.train_dataset = ds_cls(
+                cfg.DATASET.ROOT_DIR, cfg.DATASET.SPEAKER, "train", cfg)
+            self.train_dataloader = DataLoader(
+                self.train_dataset, batch_size=cfg.TRAIN.BATCH_SIZE // nshards,
+                shuffle=True, drop_last=True, seed=cfg.SYS.SEED,
+                num_shards=nshards, shard_index=shard)
+            self.num_train_samples = len(self.train_dataset)
+            self.num_train_batches = len(self.train_dataloader)
+            self.result_saving_interval_train = max(
+                1, self.num_train_batches // cfg.TRAIN.NUM_RESULT_SAMPLE)
+            if self.is_master_process():
+                print("num_train_samples: %d" % self.num_train_samples)
+
+            if cfg.TRAIN.VALIDATE:
+                self._setup_eval_split(cfg, nshards, shard)
+
+        elif split == "test":
+            self.num_train_samples = None
+            self._setup_eval_split(cfg, nshards, shard)
+
+        elif split == "demo":
+            self.num_train_samples = None
+            self.test_dataset = ds_cls(
+                cfg.DATASET.ROOT_DIR, cfg.DATASET.SPEAKER, "demo", cfg,
+                demo_input=demo_input)
+            self.test_dataloader = DataLoader(self.test_dataset, batch_size=1)
+            self.num_test_samples = len(self.test_dataset)
+            self.num_test_batches = len(self.test_dataloader)
+            self.result_saving_interval_test = max(
+                1, self.num_test_batches // cfg.TEST.NUM_RESULT_SAMPLE)
+            if self.is_master_process():
+                print("num_test_samples: %d" % self.num_test_samples)
+        else:
+            raise Exception("Unknown data split.")
+
+    def _setup_eval_split(self, cfg, nshards: int, shard: int) -> None:
+        ds_cls = get_dataset(cfg.DATASET.NAME)
+        self.test_dataset = ds_cls(
+            cfg.DATASET.ROOT_DIR, cfg.DATASET.SPEAKER, "val", cfg)
+        self.test_dataloader = DataLoader(
+            self.test_dataset, batch_size=cfg.TEST.BATCH_SIZE // nshards,
+            shuffle=False, num_shards=nshards, shard_index=shard)
+        self.num_test_samples = len(self.test_dataset)
+        self.num_test_batches = len(self.test_dataloader)
+        self.result_saving_interval_test = max(
+            1, self.num_test_batches // cfg.TEST.NUM_RESULT_SAMPLE)
+        if self.is_master_process():
+            print("num_val_samples: %d" % self.num_test_samples)
+
+    # -- model/optimizer hooks (implemented by pipelines) -------------------------
+    @abstractmethod
+    def setup_model(self, cfg, state_dict=None):
+        ...
+
+    @abstractmethod
+    def setup_optimizer(self, checkpoint=None, last_epoch: int = -1):
+        ...
+
+    @abstractmethod
+    def train_step(self, batch, t_step, global_step, epoch):
+        ...
+
+    @abstractmethod
+    def test_step(self, batch, t_step, epoch=0):
+        ...
+
+    @abstractmethod
+    def demo_step(self, batch, t_step, epoch=0, extra_id=None, interpolation_coeff=None):
+        ...
+
+    def evaluate_epoch(self, results_dict):
+        return {}
+
+    def draw_figure_epoch(self):
+        return {}
+
+    # -- checkpointing ----------------------------------------------------------
+    def state_to_save(self) -> Dict[str, Any]:
+        """Pipelines return the full pytree (params + optimizer states) to persist."""
+        raise NotImplementedError
+
+    def load_state(self, tree: Dict[str, Any], load_optimizers: bool) -> None:
+        raise NotImplementedError
+
+    def save_checkpoint(self, epoch: int, global_step: int) -> None:
+        import orbax.checkpoint as ocp
+
+        checkpoint_dir = os.path.join(self.base_path, "checkpoints")
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        path = os.path.abspath(os.path.join(
+            checkpoint_dir, f"checkpoint_epoch-{epoch}_step-{global_step}"))
+        logging.info("Saving checkpoint to: %s", path)
+        tree = {"epoch": epoch, "step": global_step, "state": self.state_to_save()}
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, tree, force=True)
+        ckptr.wait_until_finished()
+
+    @staticmethod
+    def load_checkpoint_tree(path: str) -> Dict[str, Any]:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        assert os.path.exists(path), f"checkpoint not found: {path}"
+        with ocp.PyTreeCheckpointer() as ckptr:
+            return ckptr.restore(path)
+
+    # -- experiment lifecycle ------------------------------------------------------
+    def setup_experiment(self, is_training: bool, exp_tag: str,
+                         resume_from: Optional[str] = None,
+                         checkpoint: Optional[str] = None,
+                         demo_input: Optional[str] = None):
+        if self.is_master_process():
+            print("Setting up base directory...")
+        dt = str(datetime.now()).replace(".", "-").replace(":", "-").replace(" ", "_")
+        exp_tag = "_".join([dt, exp_tag])
+
+        if is_training:
+            self.setup_dataset(self.cfg, "train")
+
+            if resume_from is not None:
+                assert os.path.exists(resume_from), f"not found: {resume_from}"
+                if self.is_master_process():
+                    print("Resuming from checkpoint: %s" % resume_from)
+                tree = self.load_checkpoint_tree(resume_from)
+                epoch = int(tree["epoch"])
+                global_step = int(tree["step"])
+                # reuse the original experiment dir (reference trainer.py:178-180)
+                base_path = os.path.dirname(os.path.dirname(os.path.abspath(resume_from)))
+                self.setup_model(self.cfg)
+                self.setup_optimizer(last_epoch=epoch)
+                self.load_state(tree["state"], load_optimizers=True)
+            else:
+                epoch = 0
+                global_step = 0
+                base_path = os.path.join(self.cfg.SYS.OUTPUT_DIR, exp_tag)
+                if self.is_master_process():
+                    os.makedirs(base_path)
+
+                if self.cfg.TRAIN.PRETRAIN_FROM is not None:
+                    pretrain_from = self.cfg.TRAIN.PRETRAIN_FROM
+                    assert os.path.exists(pretrain_from), f"not found: {pretrain_from}"
+                    if self.is_master_process():
+                        print("Loading from pretrained model: %s" % pretrain_from)
+                    tree = self.load_checkpoint_tree(pretrain_from)
+                    self.setup_model(self.cfg)
+                    self.load_state(tree["state"], load_optimizers=False)
+                else:
+                    self.setup_model(self.cfg)
+                self.setup_optimizer()
+            return base_path, epoch, global_step
+        else:
+            if demo_input is None:
+                self.setup_dataset(self.cfg, "test")
+            else:
+                self.setup_dataset(self.cfg, "demo", demo_input=demo_input)
+
+            base_path = os.path.join(self.cfg.SYS.OUTPUT_DIR, exp_tag)
+            if self.is_master_process():
+                os.makedirs(base_path)
+
+            if checkpoint is not None:
+                print("Loading from checkpoint: %s" % checkpoint)
+                tree = self.load_checkpoint_tree(checkpoint)
+                self.setup_model(self.cfg)
+                self.load_state(tree["state"], load_optimizers=False)
+            else:
+                raise Exception("Checkpoint file is not provided.")
+            return base_path
+
+    # -- step/epoch logging --------------------------------------------------------
+    def logger_writer_step(self, tag, losses, step, epoch=None, global_step=None):
+        step_toc = (time.time() - self.step_tic) / self.cfg.SYS.LOG_INTERVAL
+        self.step_tic = time.time()
+
+        if tag == "TRAIN":
+            msg = "[%s] epoch: %d/%d  step: %d/%d  global_step: %d  time: %.3f  " % (
+                tag, epoch, self.cfg.TRAIN.NUM_EPOCHS, step, self.num_train_batches,
+                global_step, step_toc)
+            for k, lr in self.current_lrs().items():
+                msg += "lr_%s: %.1e  " % (k, lr)
+                if self.tb_writer:
+                    self.tb_writer.add_scalar(f"train/lr_{k}", lr, global_step)
+            for k, v in losses.items():
+                val = _to_host_scalar(v)
+                msg += "%s: %.5f  " % (k, val)
+                if self.tb_writer:
+                    self.tb_writer.add_scalar(f"train/{k}", val, global_step)
+        elif tag in ("VAL", "TEST"):
+            msg = "[%s] epoch: %d/%d  step: %d/%d  time: %.3f  " % (
+                tag, epoch, self.cfg.TRAIN.NUM_EPOCHS, step,
+                self.num_test_batches, step_toc)
+            msg += "".join("%s: %.5f  " % (k, _to_host_scalar(v))
+                           for k, v in losses.items())
+        else:
+            raise Exception("Unknown tag: %s" % tag)
+        logging.info(msg)
+
+    def logger_writer_epoch(self, tag, epoch_toc, losses=None, figures=None,
+                            epoch=0, ETA=None):
+        if tag == "TRAIN":
+            msg = "[TRAIN] epoch_time: %.2f hours  ETA: %.2f hours" % (epoch_toc, ETA)
+            if self.tb_writer:
+                self.tb_writer.add_scalar("train/epoch_time", epoch_toc, global_step=epoch)
+                self.tb_writer.add_scalar("train/ETA", ETA, global_step=epoch)
+                for k, v in (figures or {}).items():
+                    self.tb_writer.add_figure(f"{tag.lower()}/{k}", v, global_step=epoch)
+        elif tag in ("VAL", "TEST"):
+            epoch_counter = ("epoch: %d/%d  " % (epoch, self.cfg.TRAIN.NUM_EPOCHS)
+                             if tag == "VAL" else "")
+            msg = "[%s] %sval_time: %.1f min  num_samples: %d  " % (
+                tag, epoch_counter, epoch_toc, self.num_test_samples)
+            for k, v in (losses or {}).items():
+                val = _to_host_scalar(v)
+                msg += "%s: %.5f  " % (k, val)
+                if self.tb_writer:
+                    self.tb_writer.add_scalar(f"{tag.lower()}/{k}", val, global_step=epoch)
+        elif tag == "DEMO":
+            msg = "[%s] time: %.1f min  num_samples: %d  " % (
+                tag, epoch_toc, self.num_test_samples)
+        else:
+            raise Exception("Unknown tag: %s" % tag)
+        logging.info(msg)
+
+    def current_lrs(self) -> Dict[str, float]:
+        """Pipelines report their current learning rates for logging."""
+        return {}
+
+    # -- tensor-dict helpers (reference trainer.py:329-353) -------------------------
+    @staticmethod
+    def concat_tensor_dict(input_dict, collection_dict):
+        for k, v in input_dict.items():
+            v = np.asarray(v)
+            if k not in collection_dict:
+                collection_dict[k] = v
+            else:
+                collection_dict[k] = np.concatenate([collection_dict[k], v], axis=0)
+        return collection_dict
+
+    @staticmethod
+    def multiply_batch(batch, multiple: int):
+        """Repeat a batch ``multiple`` times along the leading axis
+        (reference mutiply_batch, trainer.py:343-353)."""
+        if isinstance(batch, dict):
+            return {k: Trainer.multiply_batch(v, multiple) for k, v in batch.items()}
+        if isinstance(batch, list):
+            return batch * multiple
+        arr = np.asarray(batch)
+        return np.tile(arr[None], (multiple,) + (1,) * arr.ndim).reshape(
+            (multiple * arr.shape[0],) + arr.shape[1:])
+
+    # -- main entries ---------------------------------------------------------------
+    def train(self, cfg, exp_tag, resume_from):
+        self.base_path, epoch, global_step = self.setup_experiment(
+            True, exp_tag, resume_from=resume_from)
+
+        if self.is_master_process():
+            print("Setting up logger and summary writer...")
+            self.setup_logger(self.base_path, exp_tag)
+            self.tb_writer = _make_tb_writer(self.base_path)
+            self.video_writer = VideoWriter(self.cfg)
+            logging.info("\n====== Configurations ======\n%s\n============\n", str(cfg))
+            logging.info("Training begins!")
+
+        epoch_toc_list = []
+        while epoch < cfg.TRAIN.NUM_EPOCHS:
+            epoch += 1
+            epoch_tic = time.time()
+            self.step_tic = time.time()
+            self.train_dataloader.set_epoch(epoch)
+            for t_step, batch in enumerate(self.train_dataloader):
+                global_step += 1
+                self.train_step(batch, t_step + 1, global_step, epoch)
+
+            if epoch % cfg.TRAIN.CHECKPOINT_INTERVAL == 0:
+                if self.get_rank() == 0:
+                    self.save_checkpoint(epoch, global_step)
+                if cfg.TRAIN.VALIDATE:
+                    self.validate(self.test_dataloader, epoch)
+
+            self.on_epoch_end(epoch)
+            epoch_toc = (time.time() - epoch_tic) / 3600
+            epoch_toc_list.append(epoch_toc)
+            recent = epoch_toc_list[-10:]
+            ETA = (cfg.TRAIN.NUM_EPOCHS - epoch) * (sum(recent) / len(recent))
+            if self.is_master_process():
+                fig_dict = self.draw_figure_epoch()
+                self.logger_writer_epoch("TRAIN", epoch_toc, epoch=epoch, ETA=ETA,
+                                         figures=fig_dict)
+
+    def on_epoch_end(self, epoch: int) -> None:
+        """LR schedules are step-indexed inside optax; nothing to tick by default."""
+
+    def validate(self, test_dataloader, epoch):
+        if self.is_master_process():
+            logging.info("Validation begins!")
+        epoch_tic = time.time()
+
+        losses_sum: Dict[str, Any] = {}
+        epoch_results: Dict[str, Any] = {}
+        self.step_tic = time.time()
+        for v_step, batch in enumerate(test_dataloader):
+            batch_losses, batch_results = self.test_step(batch, v_step + 1, epoch=epoch)
+            for k, v in batch_losses.items():
+                losses_sum[k] = losses_sum[k] + v if k in losses_sum else v
+            epoch_results = self.concat_tensor_dict(batch_results, epoch_results)
+        losses_epoch = {k: v / self.num_test_samples for k, v in losses_sum.items()}
+        losses_epoch.update(self.evaluate_epoch(epoch_results))
+
+        epoch_toc = (time.time() - epoch_tic) / 60
+        if self.is_master_process():
+            self.logger_writer_epoch("VAL", epoch_toc, epoch=epoch, losses=losses_epoch)
+
+    def test(self, cfg, exp_tag, checkpoint):
+        if self.is_master_process():
+            print("Setting up logger and summary writer...")
+        self.base_path = self.setup_experiment(False, exp_tag, checkpoint=checkpoint)
+
+        if self.is_master_process():
+            self.setup_logger(self.base_path, exp_tag)
+            self.tb_writer = _make_tb_writer(self.base_path)
+            self.video_writer = VideoWriter(self.cfg)
+            logging.info("\n====== Configurations ======\n%s\n============\n", str(cfg))
+            logging.info("Testing begins!\n")
+        epoch_tic = time.time()
+
+        losses_sum: Dict[str, Any] = {}
+        epoch_results: Dict[str, Any] = {}
+        self.step_tic = time.time()
+        for t_step, batch in enumerate(self.test_dataloader):
+            batch_losses, batch_results = self.test_step(batch, t_step + 1, epoch=0)
+            for k, v in batch_losses.items():
+                losses_sum[k] = losses_sum[k] + v if k in losses_sum else v
+            epoch_results = self.concat_tensor_dict(batch_results, epoch_results)
+        losses_epoch = {k: v / self.num_test_samples for k, v in losses_sum.items()}
+        losses_epoch.update(self.evaluate_epoch(epoch_results))
+
+        epoch_toc = (time.time() - epoch_tic) / 60
+        if self.is_master_process():
+            self.logger_writer_epoch("TEST", epoch_toc, losses=losses_epoch)
+        return losses_epoch
+
+    def demo(self, cfg, exp_tag, checkpoint, demo_input):
+        if self.is_master_process():
+            print("Setting up logger and summary writer...")
+        self.base_path = self.setup_experiment(False, exp_tag, checkpoint=checkpoint,
+                                               demo_input=demo_input)
+
+        if self.is_master_process():
+            self.setup_logger(self.base_path, exp_tag)
+            self.tb_writer = _make_tb_writer(self.base_path)
+            self.video_writer = VideoWriter(self.cfg)
+            logging.info("\n====== Configurations ======\n%s\n============\n", str(cfg))
+            logging.info("Demo begins!\n")
+        epoch_tic = time.time()
+
+        self.step_tic = time.time()
+        for t_step, batch in enumerate(self.test_dataloader):
+            if self.cfg.DEMO.MULTIPLE > 1:
+                for i in range(self.cfg.DEMO.MULTIPLE):
+                    self.demo_step(batch, t_step + 1, epoch=0, extra_id=i,
+                                   interpolation_coeff=i / (self.cfg.DEMO.MULTIPLE - 1))
+            else:
+                self.demo_step(batch, t_step + 1, epoch=0)
+
+        epoch_toc = (time.time() - epoch_tic) / 60
+        if self.is_master_process():
+            self.logger_writer_epoch("DEMO", epoch_toc)
+
+
+def _make_tb_writer(base_path: str):
+    """TensorBoard writer if available (torch's works CPU-only); else a no-op."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(log_dir=base_path)
+    except Exception:
+        logging.warning("TensorBoard writer unavailable; scalar logging to file only")
+        return None

@@ -1,0 +1,647 @@
+"""Voice2Pose pipeline: speech -> gesture generator (+ template code bank, + LSGAN).
+
+Task parity with the reference's ``core/pipelines/voice2pose.py``:
+  model    = mel frontend + SequenceGeneratorCNN + learned clip-code bank
+             [N_train, 32] (or frame-variant [N_train, 32, T]), or an external bank
+             loaded from a Pose2Pose checkpoint (EXTERNAL_CODE); frozen PoseSeqEncoder
+             for FGD features; optional PoseSequenceDiscriminator.
+  losses   = L1 regression (LAMBDA_REG) + batch-statistics KL on the codes
+             (LAMBDA_CLIP_KL, skipped while code variance is exactly 0, i.e. the first
+             step after zero-init — reference voice2pose.py:147-157) + LSGAN
+             (LAMBDA_GAN) with optional motion-差 diff and keypoint WHITE_LIST.
+  metrics  = per-step denormalized L2 and normalized lip-sync error
+             (voice2pose.py:412-430); per-epoch FGD over accumulated latents.
+
+TPU-first design: the whole optimization step (mel -> forward -> THREE gradient
+computations -> three optax updates -> denormalized metrics) is ONE jitted function
+over the data mesh.  The reference's ``G_loss.backward(retain_graph=True)`` then
+``D_loss.backward()`` (voice2pose.py:297-309) becomes two independent ``jax.grad``
+calls that share one generator forward: the G grad returns the prediction as aux, the
+D grad consumes it as a constant (= ``.detach()``).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.core import freeze, unfreeze
+
+from ..models import build_model
+from ..ops import pose as pose_ops
+from ..ops.fgd import compute_fgd
+from ..ops.mel import mel_spectrogram
+from ..parallel import replicate, shard_batch
+from ..utils.viz import (draw_pose_frames_in_long_img, vis_relative_pose_clip,
+                         vis_relative_pose_pair_clip)
+from .trainer import Trainer
+
+
+def _multistep_lr(base_lr: float, num_epochs: int, steps_per_epoch: int,
+                  enabled: bool):
+    """MultiStepLR at epochs [N-10, N-2], gamma 0.1 (reference voice2pose.py:253-257),
+    expressed as an optax step-indexed piecewise-constant schedule."""
+    if not enabled or steps_per_epoch <= 0:
+        return base_lr
+    b1 = max(1, (num_epochs - 10) * steps_per_epoch)
+    b2 = max(2, (num_epochs - 2) * steps_per_epoch)
+    return optax.piecewise_constant_schedule(base_lr, {b1: 0.1, b2: 0.1})
+
+
+def _adam(lr, wd: float = 0.0):
+    """torch.optim.Adam semantics: L2 term added to the gradient before moments."""
+    chain = []
+    if wd:
+        chain.append(optax.add_decayed_weights(wd))
+    chain += [optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+              optax.scale_by_learning_rate(lr)]
+    return optax.chain(*chain)
+
+
+def _mse(x, target):
+    return jnp.mean((x - target) ** 2)
+
+
+class Voice2Pose(Trainer):
+    """Pipeline wrapper (reference Voice2Pose trainer, voice2pose.py:212-511)."""
+
+    def __init__(self, cfg) -> None:
+        super().__init__(cfg)
+        self.has_code = cfg.VOICE2POSE.GENERATOR.CLIP_CODE.DIMENSION is not None
+        self.has_disc = cfg.VOICE2POSE.POSE_DISCRIMINATOR.NAME is not None
+        self.has_pe = cfg.VOICE2POSE.POSE_ENCODER.NAME is not None
+        self.external_code = (self.has_code
+                              and cfg.VOICE2POSE.GENERATOR.CLIP_CODE.EXTERNAL_CODE)
+        self._jit_cache: Dict[Any, Any] = {}
+
+    # -- model construction ------------------------------------------------------
+    def setup_model(self, cfg, state_dict=None):
+        print("Setting up models on rank", self.get_rank())
+        rng = jax.random.PRNGKey(cfg.SYS.SEED)
+        self.num_frames = cfg.DATASET.NUM_FRAMES
+        T_mel = self._mel_frames(cfg.DATASET.AUDIO_LENGTH)
+
+        self.generator = build_model(cfg.VOICE2POSE.GENERATOR.NAME, cfg)
+        g_rng, d_rng, pe_rng, self._eval_rng = jax.random.split(rng, 4)
+
+        mel0 = jnp.zeros((1, 80, T_mel), jnp.float32)
+        code_dim = cfg.VOICE2POSE.GENERATOR.CLIP_CODE.DIMENSION
+        code0 = jnp.zeros((1, code_dim), jnp.float32) if self.has_code else None
+        g_vars = self.generator.init(g_rng, mel0, self.num_frames, code0, True)
+        self.state: Dict[str, Any] = {
+            "params_g": g_vars["params"],
+            "batch_stats_g": g_vars.get("batch_stats", {}),
+        }
+
+        # learned template bank (reference voice2pose.py:63-70) or external bank from a
+        # Pose2Pose checkpoint (voice2pose.py:40-57)
+        if self.has_code:
+            if self.external_code:
+                self.state["clips_code"] = jnp.asarray(self._load_external_code(cfg))
+            else:
+                n = self.num_train_samples
+                if n is None:
+                    n = 1  # overwritten by checkpoint load in eval modes
+                shape = ((n, code_dim, cfg.DATASET.NUM_FRAMES)
+                         if cfg.VOICE2POSE.GENERATOR.CLIP_CODE.FRAME_VARIANT
+                         else (n, code_dim))
+                self.state["clips_code"] = jnp.zeros(shape, jnp.float32)
+
+        if self.has_disc:
+            self.discriminator = build_model(cfg.VOICE2POSE.POSE_DISCRIMINATOR.NAME, cfg)
+            t_in = (self.num_frames - 1 if cfg.VOICE2POSE.POSE_DISCRIMINATOR.MOTION
+                    else self.num_frames)
+            wl = cfg.VOICE2POSE.POSE_DISCRIMINATOR.WHITE_LIST
+            k_in = len(wl) if wl is not None else cfg.DATASET.NUM_LANDMARKS
+            d_vars = self.discriminator.init(
+                d_rng, jnp.zeros((1, t_in, 2, k_in)), True)
+            self.state["params_d"] = d_vars["params"]
+            self.state["batch_stats_d"] = d_vars.get("batch_stats", {})
+
+        if self.has_pe:
+            self.pose_encoder = build_model(cfg.VOICE2POSE.POSE_ENCODER.NAME, cfg)
+            pe_vars = self.pose_encoder.init(
+                pe_rng, jnp.zeros((1, self.num_frames, 2, cfg.DATASET.NUM_LANDMARKS)),
+                True)
+            self.state["params_pe"] = pe_vars["params"]
+            self.state["batch_stats_pe"] = pe_vars.get("batch_stats", {})
+            if cfg.VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT is not None:
+                self._load_pose_encoder(cfg.VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT)
+
+        self.state = replicate(self.mesh, self.state)
+
+    def _mel_frames(self, audio_length: int) -> int:
+        from ..utils.audio import parse_audio_length
+
+        snapped, _ = parse_audio_length(audio_length, self.cfg.DATASET.AUDIO_SR,
+                                        self.cfg.DATASET.FPS)
+        return snapped // 160 + 1
+
+    def _load_external_code(self, cfg) -> np.ndarray:
+        """Template code bank = clip_code_mu buffer of a Pose2Pose checkpoint
+        (reference voice2pose.py:40-57)."""
+        path = (cfg.VOICE2POSE.GENERATOR.CLIP_CODE.EXTERNAL_CODE_PTH
+                or cfg.VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT)
+        if path is None:
+            raise RuntimeError("External code not provide.")
+        tree = self.load_checkpoint_tree(path)
+        return np.asarray(tree["state"]["clip_code_mu"])
+
+    def _load_pose_encoder(self, path: str) -> None:
+        """Frozen FGD encoder weights from a Pose2Pose (AE) checkpoint
+        (reference voice2pose.py:234-242)."""
+        tree = self.load_checkpoint_tree(path)
+        ae_params = tree["state"]["params_ae"]
+        self.state["params_pe"] = freeze(unfreeze(ae_params)["encoder"]) \
+            if "encoder" in ae_params else ae_params["encoder"]
+        bs = tree["state"].get("batch_stats_ae", {})
+        if bs and "encoder" in bs:
+            self.state["batch_stats_pe"] = bs["encoder"]
+
+    # -- optimizers ----------------------------------------------------------------
+    def setup_optimizer(self, checkpoint=None, last_epoch: int = -1):
+        cfg = self.cfg
+        spe = self.num_train_batches if self.num_train_samples else 0
+        self._lr_fns = {}
+
+        def make(label, base_lr):
+            sched = _multistep_lr(base_lr, cfg.TRAIN.NUM_EPOCHS, spe,
+                                  cfg.TRAIN.LR_SCHEDULER)
+            self._lr_fns[label] = sched if callable(sched) else (lambda _s, v=sched: v)
+            return _adam(sched, cfg.TRAIN.WD if label == "optimizerG" else 0.0)
+
+        self.optimizers = {"optimizerG": make("optimizerG", cfg.TRAIN.LR)}
+        self.state["opt_g"] = self.optimizers["optimizerG"].init(self.state["params_g"])
+
+        if self.has_disc:
+            self.optimizers["optimizerD_pose"] = make("optimizerD_pose", cfg.TRAIN.LR)
+            self.state["opt_d"] = self.optimizers["optimizerD_pose"].init(
+                self.state["params_d"])
+
+        if self.has_code and not self.external_code:
+            lr = cfg.TRAIN.LR * cfg.VOICE2POSE.GENERATOR.CLIP_CODE.LR_SCALING
+            self.optimizers["optimizerClipCode"] = make("optimizerClipCode", lr)
+            self.state["opt_code"] = self.optimizers["optimizerClipCode"].init(
+                self.state["clips_code"])
+
+        self.state = replicate(self.mesh, self.state)
+
+    def current_lrs(self) -> Dict[str, float]:
+        step = int(np.asarray(self.state.get("step", 0)))
+        return {k.replace("optimizer", ""): float(fn(step))
+                for k, fn in self._lr_fns.items()}
+
+    # -- checkpoint pytree --------------------------------------------------------
+    def state_to_save(self):
+        return self.state
+
+    def load_state(self, tree, load_optimizers: bool):
+        for k, v in tree.items():
+            if not load_optimizers and k.startswith("opt_"):
+                continue
+            if k == "params_pe" and self.cfg.VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT:
+                continue  # freshly loaded frozen encoder wins
+            if not self.cfg.VOICE2POSE.STRICT_LOADING and k not in self.state:
+                continue
+            self.state[k] = jax.tree.map(jnp.asarray, v)
+        self.state = replicate(self.mesh, self.state)
+
+    # -- forward helpers (traced) ----------------------------------------------------
+    def _apply_generator(self, params, batch_stats, mel, num_frames, code, train):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        if train and batch_stats:
+            out, updates = self.generator.apply(
+                variables, mel, num_frames, code, True, mutable=["batch_stats"])
+            return out, updates["batch_stats"]
+        return self.generator.apply(variables, mel, num_frames, code, train), batch_stats
+
+    def _apply_disc(self, params, batch_stats, poses, train):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        if train and batch_stats:
+            out, updates = self.discriminator.apply(
+                variables, poses, True, mutable=["batch_stats"])
+            return out, updates["batch_stats"]
+        return self.discriminator.apply(variables, poses, train), batch_stats
+
+    def _apply_pose_encoder(self, state, poses):
+        variables = {"params": state["params_pe"]}
+        if state.get("batch_stats_pe"):
+            variables["batch_stats"] = state["batch_stats_pe"]
+        return self.pose_encoder.apply(variables, poses, False)  # frozen, eval mode
+
+    def _disc_input(self, poses):
+        """WHITE_LIST keypoint masking + motion differencing
+        (reference voice2pose.py:182-192)."""
+        cfg_d = self.cfg.VOICE2POSE.POSE_DISCRIMINATOR
+        if cfg_d.WHITE_LIST is not None:
+            poses = poses[..., np.asarray(list(cfg_d.WHITE_LIST), dtype=np.int32)]
+        if cfg_d.MOTION:
+            poses = poses[:, 1:] - poses[:, :-1]
+        return poses
+
+    def _condition_code(self, state, batch, train: bool, rng,
+                        interpolation_coeff=None):
+        """Code selection (reference voice2pose.py:92-122); all mode switches are
+        static cfg flags, so each active combination traces once."""
+        if not self.has_code:
+            return None
+        cc = self.cfg.VOICE2POSE.GENERATOR.CLIP_CODE
+        bank = state["clips_code"]
+        B = batch["audio"].shape[0]
+        if train:
+            return bank[batch["clip_index"]]
+        if cc.SAMPLE_FROM_NORMAL:
+            return jax.random.normal(rng, (B, cc.DIMENSION))
+        if cc.TEST_WITH_GT_CODE:
+            gt = batch["poses"]
+            if not self.cfg.DATASET.HIERARCHICAL_POSE:
+                gt = self._p2g_renorm(batch, gt)
+            mu_gt, _ = self._apply_pose_encoder(state, gt)
+            return mu_gt
+        if self.cfg.DEMO.CODE_INDEX is not None:
+            code = jnp.broadcast_to(bank[self.cfg.DEMO.CODE_INDEX][None],
+                                    (B,) + bank.shape[1:])
+            if interpolation_coeff is not None:
+                code_b = jnp.broadcast_to(bank[self.cfg.DEMO.CODE_INDEX_B][None],
+                                          (B,) + bank.shape[1:])
+                code = code * (1 - interpolation_coeff) + code_b * interpolation_coeff
+            return code
+        idx = jax.random.randint(rng, (B,), 0, bank.shape[0])
+        return bank[idx]
+
+    def _p2g_renorm(self, batch, poses):
+        """Parted->global re-normalization for the FGD encoder when training
+        non-hierarchically (reference voice2pose.py:104-106,165-170)."""
+        stat = batch["speaker_stat"]
+        statg = batch["speaker_stat_global"]
+        return pose_ops.transform_normalized_parted2global(
+            poses, stat["mean"], stat["std"], statg["mean"], statg["std"],
+            self.cfg.DATASET.NUM_LANDMARKS)
+
+    # -- loss assembly (traced) ------------------------------------------------------
+    def _generator_losses(self, pred, gt, code, state_d, train):
+        cfg = self.cfg
+        losses = {}
+        reg = jnp.mean(jnp.abs(pred - gt)) * cfg.VOICE2POSE.GENERATOR.LAMBDA_REG
+        losses["G_reg_loss"] = reg
+        g_loss = reg
+
+        if code is not None:
+            if cfg.VOICE2POSE.GENERATOR.CLIP_CODE.FRAME_VARIANT:
+                flat = jnp.swapaxes(code, 1, 2).reshape(-1, code.shape[1])
+            else:
+                flat = code
+            mu = flat.mean(axis=0)
+            var = flat.var(axis=0, ddof=1)
+            kl = (0.5 * jnp.mean(-jnp.log(jnp.where(var > 0, var, 1.0))
+                                 + mu ** 2 + var - 1.0)
+                  * cfg.VOICE2POSE.GENERATOR.LAMBDA_CLIP_KL)
+            # reference skips the term while any var == 0 (zero-init first step)
+            kl = jnp.where(jnp.all(var != 0), kl, 0.0)
+            losses["G_clipcode_kl_loss"] = kl
+            g_loss = g_loss + kl
+
+        new_bs_d = state_d[1] if state_d else None
+        if self.has_disc:
+            fake_in = self._disc_input(pred)
+            score_fake, new_bs_d = self._apply_disc(state_d[0], state_d[1],
+                                                    fake_in, train)
+            gan = (_mse(score_fake, jnp.ones_like(score_fake))
+                   * cfg.VOICE2POSE.POSE_DISCRIMINATOR.LAMBDA_GAN)
+            losses["G_pose_gan_loss"] = gan
+            g_loss = g_loss + gan
+
+        losses["G_loss"] = g_loss
+        return g_loss, (losses, new_bs_d)
+
+    def _disc_losses(self, params_d, batch_stats_d, fake, real, train):
+        cfg_d = self.cfg.VOICE2POSE.POSE_DISCRIMINATOR
+        fake_in = self._disc_input(fake)
+        real_in = self._disc_input(real)
+        score_fake, bs1 = self._apply_disc(params_d, batch_stats_d, fake_in, train)
+        score_real, bs2 = self._apply_disc(params_d, bs1, real_in, train)
+        d_fake = _mse(score_fake, jnp.zeros_like(score_fake))
+        d_real = _mse(score_real, jnp.ones_like(score_real))
+        d_loss = (d_real + d_fake) * cfg_d.LAMBDA_GAN
+        aux = {"D_pose_gan_loss": d_loss,
+               "pose_score_fake": score_fake.mean(),
+               "pose_score_real": score_real.mean()}
+        return d_loss, (aux, bs2)
+
+    # -- metrics (traced; reference voice2pose.py:412-430) ---------------------------
+    @staticmethod
+    def _step_metrics(pred_final, gt_final):
+        l2 = jnp.linalg.norm(pred_final - gt_final, axis=2)
+        lip_pred = jnp.linalg.norm(pred_final[:, :, :, 75] - pred_final[:, :, :, 71],
+                                   axis=-1)
+        lip_gt = jnp.linalg.norm(gt_final[:, :, :, 75] - gt_final[:, :, :, 71],
+                                 axis=-1)
+        denom = lip_gt.max(-1, keepdims=True) + 1e-4
+        lip_err = jnp.abs(lip_pred / denom - lip_gt / denom)
+        return {"L2_dist": l2.mean(), "lip_sync_error_n": lip_err.mean()}
+
+    def _final_results(self, batch, poses):
+        stat = batch["speaker_stat"]
+        return pose_ops.get_final_results(
+            poses, stat["mean"], stat["std"], stat["scale_factor"],
+            self.cfg.DATASET.HIERARCHICAL_POSE, self.cfg.DATASET.NUM_LANDMARKS)
+
+    # -- the jitted steps -------------------------------------------------------------
+    def _build_train_step(self, num_frames: int):
+        gen_opt = self.optimizers["optimizerG"]
+        code_opt = self.optimizers.get("optimizerClipCode")
+        disc_opt = self.optimizers.get("optimizerD_pose")
+        mel_impl = "dft"
+
+        def step(state, batch, rng):
+            mel = mel_spectrogram(batch["audio"], impl=mel_impl)
+
+            def g_loss_fn(params_g, clips_code):
+                st = dict(state)
+                st["clips_code"] = clips_code
+                code = (clips_code[batch["clip_index"]] if self.has_code else None)
+                pred, new_bs_g = self._apply_generator(
+                    params_g, state["batch_stats_g"], mel, num_frames, code, True)
+                state_d = ((state["params_d"], state["batch_stats_d"])
+                           if self.has_disc else None)
+                g_loss, (losses, new_bs_d) = self._generator_losses(
+                    pred, batch["poses"], code, state_d, True)
+                return g_loss, (losses, pred, new_bs_g, new_bs_d)
+
+            code_arg = state.get("clips_code", jnp.zeros((1, 1)))
+            (g_loss, (losses, pred, new_bs_g, new_bs_d)), grads = (
+                jax.value_and_grad(g_loss_fn, argnums=(0, 1), has_aux=True)(
+                    state["params_g"], code_arg))
+            g_grads, code_grads = grads
+
+            new_state = dict(state)
+            updates, new_state["opt_g"] = gen_opt.update(
+                g_grads, state["opt_g"], state["params_g"])
+            new_state["params_g"] = optax.apply_updates(state["params_g"], updates)
+            new_state["batch_stats_g"] = new_bs_g
+
+            if self.has_code and not self.external_code:
+                cupd, new_state["opt_code"] = code_opt.update(
+                    code_grads, state["opt_code"], state["clips_code"])
+                new_state["clips_code"] = optax.apply_updates(
+                    state["clips_code"], cupd)
+
+            if self.has_disc:
+                fake = jax.lax.stop_gradient(pred)
+                def d_loss_fn(params_d):
+                    return self._disc_losses(params_d, new_bs_d, fake,
+                                             batch["poses"], True)
+                (d_loss, (d_aux, bs_d2)), d_grads = jax.value_and_grad(
+                    d_loss_fn, has_aux=True)(state["params_d"])
+                dupd, new_state["opt_d"] = disc_opt.update(
+                    d_grads, state["opt_d"], state["params_d"])
+                new_state["params_d"] = optax.apply_updates(
+                    state["params_d"], dupd)
+                new_state["batch_stats_d"] = bs_d2
+                losses.update(d_aux)
+
+            # FGD features from the frozen encoder (reference voice2pose.py:162-176)
+            results = {}
+            if self.has_pe:
+                if self.cfg.DATASET.HIERARCHICAL_POSE:
+                    enc_pred, enc_gt = pred, batch["poses"]
+                else:
+                    enc_pred = self._p2g_renorm(batch, pred)
+                    enc_gt = self._p2g_renorm(batch, batch["poses"])
+                mu_p, lv_p = self._apply_pose_encoder(state, enc_pred)
+                mu_g, lv_g = self._apply_pose_encoder(state, enc_gt)
+                results.update({"mu_pred": mu_p, "logvar_pred": lv_p,
+                                "mu_gt": mu_g, "logvar_gt": lv_g})
+
+            pred_final = self._final_results(batch, pred)
+            gt_final = self._final_results(batch, batch["poses"])
+            losses.update(self._step_metrics(pred_final, gt_final))
+            results.update({"poses_pred_batch": pred_final,
+                            "poses_gt_batch": gt_final})
+            new_state["step"] = state.get("step", 0) + 1
+            return new_state, losses, results
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def _build_eval_step(self, num_frames: int, t_mel: int):
+        def step(state, batch, rng, interpolation_coeff):
+            mel = mel_spectrogram(batch["audio"], impl="dft")
+            code = self._condition_code(state, batch, False, rng,
+                                        interpolation_coeff)
+            pred, _ = self._apply_generator(
+                state["params_g"], state["batch_stats_g"], mel, num_frames, code,
+                False)
+            results = {"poses_pred_batch": self._final_results(batch, pred),
+                       "condition_code": code}
+            losses = {}
+            if "poses" in batch:
+                gt = batch["poses"]
+                state_d = ((state["params_d"], state["batch_stats_d"])
+                           if self.has_disc else None)
+                _, (losses, _) = self._generator_losses(pred, gt, code, state_d, False)
+                if self.has_disc:
+                    d_loss, (d_aux, _) = self._disc_losses(
+                        state["params_d"], state["batch_stats_d"], pred, gt, False)
+                    losses.update(d_aux)
+                if self.has_pe:
+                    if self.cfg.DATASET.HIERARCHICAL_POSE:
+                        enc_pred, enc_gt = pred, gt
+                    else:
+                        enc_pred = self._p2g_renorm(batch, pred)
+                        enc_gt = self._p2g_renorm(batch, gt)
+                    mu_p, lv_p = self._apply_pose_encoder(state, enc_pred)
+                    mu_g, lv_g = self._apply_pose_encoder(state, enc_gt)
+                    results.update({"mu_pred": mu_p, "logvar_pred": lv_p,
+                                    "mu_gt": mu_g, "logvar_gt": lv_g})
+                gt_final = self._final_results(batch, gt)
+                results["poses_gt_batch"] = gt_final
+                losses.update(self._step_metrics(results["poses_pred_batch"],
+                                                 gt_final))
+            return losses, results
+
+        return jax.jit(step, static_argnames=())
+
+    def _get_train_step(self):
+        key = ("train", self.num_frames)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build_train_step(self.num_frames)
+        return self._jit_cache[key]
+
+    def _get_eval_step(self, num_frames: int, t_mel: int):
+        key = ("eval", num_frames, t_mel)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build_eval_step(num_frames, t_mel)
+        return self._jit_cache[key]
+
+    # -- batch marshalling -----------------------------------------------------------
+    _DEVICE_KEYS = ("audio", "poses", "clip_index", "speaker_stat",
+                    "speaker_stat_global")
+
+    def _device_batch(self, batch):
+        db = {k: batch[k] for k in self._DEVICE_KEYS if k in batch}
+        return shard_batch(self.mesh, db)
+
+    def _next_rng(self):
+        self._eval_rng, sub = jax.random.split(self._eval_rng)
+        return sub
+
+    # -- Trainer hooks ----------------------------------------------------------------
+    def train_step(self, batch, t_step, global_step, epoch):
+        tag = "TRAIN"
+        step_fn = self._get_train_step()
+        db = self._device_batch(batch)
+        self.state, losses, results = step_fn(self.state, db, self._next_rng())
+
+        if self.is_master_process():
+            if t_step % self.cfg.SYS.LOG_INTERVAL == 0:
+                self.logger_writer_step(tag, losses, t_step, epoch, global_step)
+            if t_step % self.result_saving_interval_train == 0:
+                self._save_step_artifacts(tag, t_step, epoch, global_step, batch,
+                                          results, save_npz=self.cfg.TRAIN.SAVE_NPZ,
+                                          save_video=self.cfg.TRAIN.SAVE_VIDEO)
+
+    def test_step(self, batch, t_step, epoch=0):
+        tag = "TEST" if epoch == 0 else "VAL"
+        assert isinstance(self.cfg.TEST.MULTIPLE, int) and self.cfg.TEST.MULTIPLE >= 1
+        if self.cfg.TEST.MULTIPLE > 1:
+            batch = self.multiply_batch(batch, self.cfg.TEST.MULTIPLE)
+
+        num_frames = int(np.asarray(batch["num_frames"])[0])
+        t_mel = batch["audio"].shape[-1] // 160 + 1
+        step_fn = self._get_eval_step(num_frames, t_mel)
+        db = self._device_batch(batch)
+        losses, results = step_fn(self.state, db, self._next_rng(), None)
+
+        if self.is_master_process():
+            if t_step % self.cfg.SYS.LOG_INTERVAL == 0:
+                self.logger_writer_step(tag, losses, t_step, epoch)
+            if t_step % self.result_saving_interval_test == 0:
+                self._save_step_artifacts(tag, t_step, epoch, None, batch, results,
+                                          save_npz=self.cfg.TEST.SAVE_NPZ,
+                                          save_video=self.cfg.TEST.SAVE_VIDEO)
+
+        batch_losses = {k: np.asarray(v) * self.cfg.TEST.BATCH_SIZE
+                        for k, v in losses.items()}
+        batch_results = {k: np.asarray(v) for k, v in results.items()
+                         if k in ("mu_pred", "mu_gt", "logvar_pred", "logvar_gt",
+                                  "condition_code") and v is not None}
+        return batch_losses, batch_results
+
+    def demo_step(self, batch, t_step, epoch=0, extra_id=None,
+                  interpolation_coeff=None):
+        tag = "DEMO"
+        num_frames = int(np.asarray(batch["num_frames"])[0])
+        t_mel = batch["audio"].shape[-1] // 160 + 1
+        step_fn = self._get_eval_step(num_frames, t_mel)
+        db = self._device_batch(batch)
+        coeff = (None if interpolation_coeff is None
+                 else jnp.float32(interpolation_coeff))
+        _, results = step_fn(self.state, db, self._next_rng(), coeff)
+
+        if self.is_master_process():
+            np_results = {k: np.asarray(v) for k, v in results.items()
+                          if v is not None}
+            if self.cfg.TEST.SAVE_NPZ:
+                self.save_results(tag, t_step, epoch, self.base_path, np_results,
+                                  extra_id=extra_id)
+            if self.cfg.TEST.SAVE_VIDEO:
+                pred = np_results["poses_pred_batch"][0]
+                vid = self.generate_video(pred)
+                long_img = draw_pose_frames_in_long_img(pred.transpose(0, 2, 1))
+                self.video_writer.save_video(
+                    self.cfg, tag, vid, t_step, epoch, long_img=long_img,
+                    audio=np.asarray(batch["audio"][0]), writer=self.tb_writer,
+                    base_path=self.base_path, extra_id=extra_id)
+
+    # -- epoch metrics / figures -------------------------------------------------------
+    def evaluate_epoch(self, results_dict):
+        tic = time.time()
+        metrics = {}
+        if "mu_pred" in results_dict:
+            metrics["FGD_mu"] = compute_fgd(results_dict["mu_pred"],
+                                            results_dict["mu_gt"])
+            metrics["FGD_mu_logvar"] = compute_fgd(
+                np.concatenate([results_dict["mu_pred"],
+                                results_dict["logvar_pred"]], axis=1),
+                np.concatenate([results_dict["mu_gt"],
+                                results_dict["logvar_gt"]], axis=1))
+        logging.info("Compelte epoch evaluation in %.2f min",
+                     (time.time() - tic) / 60)
+        return metrics
+
+    def draw_figure_epoch(self):
+        fig_dict = {}
+        msg = "[TRAIN] epoch plotting: "
+        if self.has_code and "clips_code" in self.state:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            from matplotlib import pyplot as plt
+
+            code = np.asarray(self.state["clips_code"])
+            if code.ndim == 3:
+                code = code.transpose(0, 2, 1).reshape(-1, code.shape[1])
+            fig = plt.figure()
+            xy = _pca_2d(code)
+            plt.scatter(xy[:, 0], xy[:, 1], alpha=0.2, edgecolors="none", s=1)
+            fig.tight_layout()
+            fig_dict["clip_code"] = fig
+            plt.close()
+            msg += "Clip Code, "
+        logging.info(msg)
+        return fig_dict
+
+    # -- host-side artifact saving ------------------------------------------------------
+    def _save_step_artifacts(self, tag, t_step, epoch, global_step, batch, results,
+                             save_npz: bool, save_video: bool):
+        np_results = {k: np.asarray(v) for k, v in results.items() if v is not None}
+        if save_npz:
+            self.save_results(tag, t_step, epoch, self.base_path, np_results)
+        if save_video:
+            pred = np_results["poses_pred_batch"][0]
+            gt = np_results["poses_gt_batch"][0]
+            vid = self.generate_video_pair(pred, gt)
+            self.video_writer.save_video(
+                self.cfg, tag, vid, t_step, epoch, global_step,
+                audio=np.asarray(batch["audio"][0]), writer=self.tb_writer,
+                base_path=self.base_path)
+
+    def generate_video_pair(self, pred, gt):
+        s = self.cfg.SYS.VISUALIZATION_SCALING
+        return vis_relative_pose_pair_clip(pred * s, gt * s, self.cfg.SYS.CANVAS_SIZE)
+
+    def generate_video(self, poses):
+        s = self.cfg.SYS.VISUALIZATION_SCALING
+        return vis_relative_pose_clip(poses * s, self.cfg.SYS.CANVAS_SIZE)
+
+    def save_results(self, tag, step, epoch, base_path, results_dict, extra_id=None):
+        tic = time.time()
+        res_dir = os.path.join(base_path, "results")
+        os.makedirs(res_dir, exist_ok=True)
+        suffix = "" if extra_id is None else f"-{extra_id}"
+        path = f"{res_dir}/epoch{epoch}-{tag}-step{step}{suffix}.npz"
+        if os.path.exists(path):
+            os.remove(path)
+        np.savez(path, **results_dict)
+        logging.info("[%s] epoch: %d/%d  step: %d  Saved results in an npz file in "
+                     "%.3f seconds.", tag, epoch, self.cfg.TRAIN.NUM_EPOCHS, step,
+                     time.time() - tic)
+
+
+def _pca_2d(x: np.ndarray) -> np.ndarray:
+    """2-component PCA via SVD (replaces sklearn.decomposition.PCA in the reference's
+    epoch figure, voice2pose.py:479-510)."""
+    x = x - x.mean(axis=0, keepdims=True)
+    _, _, vt = np.linalg.svd(x, full_matrices=False)
+    return x @ vt[:2].T

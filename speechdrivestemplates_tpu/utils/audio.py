@@ -1,0 +1,61 @@
+"""Audio length bookkeeping and host-side wav I/O.
+
+Behavioral parity with the reference's ``core/utils/audio_processing.py:5-19``
+(parse_audio_length / crop_pad_audio) and the demo-path librosa load at
+``core/datasets/gesture_dataset.py:61-69`` (librosa is unavailable here; wav loading is
+implemented with the stdlib + scipy and resampled with a polyphase filter).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def parse_audio_length(audio_length: int, sr: int, fps: int) -> tuple[int, int]:
+    """Snap an audio length to an integer number of video frames.
+
+    Matches reference ``audio_processing.py:5-11``: ``bit_per_frames = sr / fps`` (float
+    division), ``num_frames = int(audio_length / bit_per_frames)``,
+    ``audio_length = int(num_frames * bit_per_frames)``.
+    """
+    bit_per_frames = sr / fps
+    num_frames = int(audio_length / bit_per_frames)
+    audio_length = int(num_frames * bit_per_frames)
+    return audio_length, num_frames
+
+
+def crop_pad_audio(wav: np.ndarray, audio_length: int) -> np.ndarray:
+    """Crop or zero-pad a 1-D waveform to exactly ``audio_length`` samples
+    (reference ``audio_processing.py:14-19``)."""
+    if len(wav) > audio_length:
+        wav = wav[:audio_length]
+    elif len(wav) < audio_length:
+        wav = np.pad(wav, [0, audio_length - len(wav)], mode="constant", constant_values=0)
+    return wav
+
+
+def load_wav(path: str, target_sr: int = 16000) -> np.ndarray:
+    """Load an audio file as mono float32 at ``target_sr`` (librosa.load equivalent).
+
+    Supports .wav via scipy; resamples with scipy.signal.resample_poly (kaiser window),
+    which is numerically close to librosa's default resampler for speech.
+    """
+    from scipy.io import wavfile
+    from scipy.signal import resample_poly
+
+    sr, data = wavfile.read(path)
+    data = np.asarray(data)
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float32)
+    if data.ndim == 2:  # (num_samples, channels) -> mono
+        data = data.mean(axis=1)
+    if sr != target_sr:
+        g = np.gcd(int(sr), int(target_sr))
+        data = resample_poly(data, target_sr // g, sr // g).astype(np.float32)
+    return np.ascontiguousarray(data, dtype=np.float32)
