@@ -1,0 +1,108 @@
+"""Shared helpers for the offline data-prep toolchain.
+
+Mirrors the ffmpeg wrappers of the reference's
+``data_preprocess/generate_dataset_utils.py:13-56`` (fps normalization, frame
+extraction, audio extraction) plus the pose-space helpers used by 2_x/4_x.  All
+ffmpeg use is offline data prep; it shells out to the system binary and raises a
+clear error when ffmpeg is absent.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+FPS = 15
+SR = 16000
+FRAMES_PER_SAMPLE = 64
+
+
+def _ffmpeg() -> str:
+    path = shutil.which("ffmpeg")
+    if path is None:
+        raise RuntimeError(
+            "ffmpeg binary not found on PATH; the 1_x/3_1 data-prep steps need it")
+    return path
+
+
+def _run(cmd: list[str]) -> None:
+    print("command:", " ".join(cmd))
+    subprocess.run(cmd, check=True)
+
+
+def dir_change_fps(video_dir: str, target_dir: str, fps: int = FPS) -> None:
+    """Re-encode every video in ``video_dir`` at ``fps`` into ``target_dir``."""
+    os.makedirs(target_dir, exist_ok=True)
+    for video_nm in sorted(os.listdir(video_dir)):
+        _run([_ffmpeg(), "-i", os.path.join(video_dir, video_nm),
+              "-qscale", "0", "-r", str(fps), "-y",
+              os.path.join(target_dir, video_nm)])
+
+
+def dir_video2frames(video_dir: str, target_dir: str, fps: int = FPS) -> None:
+    """Extract jpg frames at ``fps`` for every video, one subdir per video."""
+    assert fps in (15, 25)
+    os.makedirs(target_dir, exist_ok=True)
+    for video_nm in sorted(os.listdir(video_dir)):
+        stem = os.path.splitext(video_nm)[0]
+        out_dir = os.path.join(target_dir, stem)
+        os.makedirs(out_dir, exist_ok=True)
+        _run([_ffmpeg(), "-i", os.path.join(video_dir, video_nm),
+              "-qscale", "0", "-r", str(fps), "-y",
+              os.path.join(out_dir, f"{stem}_%6d.jpg")])
+
+
+def save_audio_sample_from_video(vid_path: str, audio_out_path: str,
+                                 audio_start: str, audio_end: str,
+                                 sr: int = 48000) -> None:
+    os.makedirs(os.path.dirname(audio_out_path), exist_ok=True)
+    _run([_ffmpeg(), "-i", vid_path, "-ss", str(audio_start), "-to", str(audio_end),
+          "-ab", "160k", "-ac", "2", "-ar", str(sr), "-vn", audio_out_path,
+          "-y", "-loglevel", "warning"])
+
+
+def frame_idx_to_time(frame_idx: int, fps: int = FPS) -> str:
+    all_seconds = frame_idx / float(fps)
+    hour = int(all_seconds // 3600)
+    minute = int((all_seconds % 3600) // 60)
+    seconds = (all_seconds % 3600) % 60
+    return f"{hour:02d}:{minute:02d}:{seconds:09.6f}"
+
+
+def pose137_to_pose121(x: np.ndarray) -> np.ndarray:
+    """(..., C, 137) -> (..., C, 121): upper body + eyes + face/hands."""
+    return np.concatenate([x[..., :, 0:1], x[..., :, 2:8],
+                           x[..., :, 15:17],
+                           x[..., :, 25:]], axis=-1)
+
+
+# pose-137 part anchors used by the mean/std scripts (reference 4_1:59-72)
+P137_GLOBAL_ROOT = 1
+P137_FACE_BEGIN, P137_FACE_ROOT = 25, 55
+P137_HANDL_BEGIN, P137_HANDL_ROOT = 95, 7
+P137_HANDR_BEGIN, P137_HANDR_ROOT = 116, 4
+
+
+def deduct_root_global(poses: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Root-center a (..., 3, 137) pose batch; returns (centered, saved_roots)."""
+    poses = poses.copy()
+    root = poses[..., :2, P137_GLOBAL_ROOT].copy()
+    poses[..., :2, :] -= poses[..., :2, P137_GLOBAL_ROOT, None]
+    return poses, root
+
+
+def deduct_root_parted(poses: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Root-center then re-root face at nose and hands at wrists (pose-137 space)."""
+    poses, root = deduct_root_global(poses)
+    fb, fr = P137_FACE_BEGIN, P137_FACE_ROOT
+    face_idx = list(range(fb, fr)) + list(range(fr + 1, fb + 70))
+    poses[..., :2, face_idx] -= poses[..., :2, fr, None]
+    poses[..., :2, P137_HANDL_BEGIN:P137_HANDL_BEGIN + 21] -= (
+        poses[..., :2, P137_HANDL_ROOT, None])
+    poses[..., :2, P137_HANDR_BEGIN:P137_HANDR_BEGIN + 21] -= (
+        poses[..., :2, P137_HANDR_ROOT, None])
+    return poses, root

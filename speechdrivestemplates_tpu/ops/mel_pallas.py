@@ -1,0 +1,140 @@
+"""Fused STFT+mel Pallas TPU kernel.
+
+Replaces the reference's torchaudio MelSpectrogram (voice2pose.py:27-30) on the hot
+path.  One kernel performs framing + Hann window + real-DFT (two MXU matmuls) +
+power + mel projection entirely in VMEM:
+
+  HBM traffic: read audio once ((B, L) fp32), write mel once ((B, T, 80) fp32).
+  The unfused path materializes the frame matrix (B, T, 512) in HBM — ~13x the
+  audio bytes — so fusion trades two small MXU matmuls for a large cut in
+  frontend HBM bytes.
+
+Framing without unaligned loads: hop=160 and n_fft=512 share gcd 32, so the audio
+span of a frame block viewed as (rows, 32) makes every frame a run of 16 consecutive
+rows starting at row 5*i.  For each lane-offset j in [0, 16) the column slab
+frames[:, 32j:32j+32] is the STATIC slice rows[j : j + 5*FB] reshaped to (FB, 5, 32)
+with the stride-5 row picked — all static shapes, no dynamic unaligned indexing,
+fully vectorizable by Mosaic.
+
+Grid: (B, ceil(T / FRAME_BLOCK)).  The DFT/mel matrices (~1.2 MB) stay resident in
+VMEM across the grid.  Numerics match ``mel.mel_spectrogram(impl='dft')`` (tested)
+and therefore torchaudio.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .mel import (F_MAX, F_MIN, HOP_LENGTH, N_FFT, N_MELS, SAMPLE_RATE, WIN_LENGTH,
+                  _dft_matrices_np, _mel_filterbank_np, _window_np)
+
+FRAME_BLOCK = 128          # frames per program
+_G = 32                    # gcd(hop, n_fft)
+_ROWS_PER_HOP = HOP_LENGTH // _G      # 5
+_ROWS_PER_FRAME = N_FFT // _G         # 16
+SPAN_ROWS = _ROWS_PER_HOP * FRAME_BLOCK + _ROWS_PER_FRAME  # 656 (8-aligned)
+SPAN = SPAN_ROWS * _G      # samples DMA'd per program
+
+
+def _kernel(audio_ref, win_ref, cos_ref, sin_ref, fb_ref, out_ref,
+            span_ref, sem):
+    b = pl.program_id(0)
+    tb = pl.program_id(1)
+
+    start = tb * FRAME_BLOCK * HOP_LENGTH
+    dma = pltpu.make_async_copy(
+        audio_ref.at[b, pl.ds(start, SPAN)], span_ref, sem)
+    dma.start()
+    dma.wait()
+
+    rows = span_ref[:].reshape(SPAN_ROWS, _G)
+    # frames[i, 32j:32j+32] = rows[5i + j]; static slice + static strided pick per j.
+    slabs = []
+    for j in range(_ROWS_PER_FRAME):
+        block = rows[j: j + _ROWS_PER_HOP * FRAME_BLOCK]       # (5*FB, 32) static
+        slabs.append(block.reshape(FRAME_BLOCK, _ROWS_PER_HOP * _G)[:, :_G])
+    frames = jnp.concatenate(slabs, axis=1)                     # (FB, n_fft)
+
+    f = frames * win_ref[:]
+    re = jnp.dot(f, cos_ref[:], preferred_element_type=jnp.float32)
+    im = jnp.dot(f, sin_ref[:], preferred_element_type=jnp.float32)
+    power = re * re + im * im
+    out_ref[0] = jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _mel_pallas_2d(audio_padded: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """audio_padded: (B, L_pad) reflect- and block-padded.
+    Returns (B, grid_t * FRAME_BLOCK, n_mels)."""
+    B, L = audio_padded.shape
+    grid_t = (L - SPAN) // (FRAME_BLOCK * HOP_LENGTH) + 1
+
+    window = jnp.asarray(_window_np(WIN_LENGTH, N_FFT))[None, :]  # (1, n_fft)
+    cos_m, sin_m = _dft_matrices_np(N_FFT)
+    fb = jnp.asarray(_mel_filterbank_np(SAMPLE_RATE, N_FFT, N_MELS, F_MIN, F_MAX))
+
+    n_freq = N_FFT // 2 + 1
+    flops_per_block = 2 * FRAME_BLOCK * (2 * N_FFT * n_freq + n_freq * N_MELS)
+    out = pl.pallas_call(
+        _kernel,
+        grid=(B, grid_t),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # audio stays in HBM; manual DMA
+            pl.BlockSpec((1, N_FFT), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_FFT, n_freq), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_FFT, n_freq), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_freq, N_MELS), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, FRAME_BLOCK, N_MELS), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, grid_t * FRAME_BLOCK, N_MELS),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((SPAN,), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=B * grid_t * flops_per_block,
+            bytes_accessed=B * (L + grid_t * FRAME_BLOCK * N_MELS) * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(audio_padded, window, jnp.asarray(cos_m), jnp.asarray(sin_m), fb)
+    return out
+
+
+def mel_spectrogram_pallas(audio: jnp.ndarray, sr: int = SAMPLE_RATE,
+                           n_fft: int = N_FFT, win_length: int = WIN_LENGTH,
+                           hop_length: int = HOP_LENGTH, n_mels: int = N_MELS,
+                           f_min: float = F_MIN, f_max: float = F_MAX,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for ``mel.mel_spectrogram``: (..., L) -> (..., n_mels, T)."""
+    assert (sr, n_fft, win_length, hop_length, n_mels, f_min, f_max) == (
+        SAMPLE_RATE, N_FFT, WIN_LENGTH, HOP_LENGTH, N_MELS, F_MIN, F_MAX), (
+        "pallas mel kernel is specialized to the reference's parameters")
+
+    lead = audio.shape[:-1]
+    L = audio.shape[-1]
+    x = audio.reshape((-1, L))
+    T = L // hop_length + 1
+
+    # center=True reflect pad, then zero-pad so every grid block's span is in-bounds.
+    pad = n_fft // 2
+    x = jnp.pad(x, [(0, 0), (pad, pad)], mode="reflect")
+    grid_t = -(-T // FRAME_BLOCK)
+    need = (grid_t - 1) * FRAME_BLOCK * hop_length + SPAN
+    if need > x.shape[-1]:
+        x = jnp.pad(x, [(0, 0), (0, need - x.shape[-1])])
+
+    out = _mel_pallas_2d(x, interpret=interpret)  # (B, T_pad, n_mels)
+    out = out[:, :T, :]
+    out = jnp.swapaxes(out, -1, -2)  # (B, n_mels, T)
+    return out.reshape(lead + (n_mels, T))

@@ -1,0 +1,88 @@
+"""Unit tests for the offline data-prep toolchain (pure-numpy parts)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "data_preprocess"))
+
+import generate_dataset_utils as gdu  # noqa: E402
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def test_pose137_to_pose121_indices(rng):
+    x = rng.randn(3, 137).astype(np.float32)
+    out = gdu.pose137_to_pose121(x)
+    assert out.shape == (3, 121)
+    ref_idx = [0] + list(range(2, 8)) + [15, 16] + list(range(25, 137))
+    np.testing.assert_array_equal(out, x[:, ref_idx])
+
+
+def test_deduct_root_parted_matches_runtime_chain(rng):
+    """pose-137 parted rooting (4_1) must agree with the runtime 137->121 chain
+    (remove_unused -> relative -> global_to_parted) on the shared keypoints."""
+    from speechdrivestemplates_tpu.ops import pose as P
+
+    pose = rng.randn(4, 3, 137).astype(np.float64) * 100
+    centered, _ = gdu.deduct_root_parted(pose.copy())
+
+    runtime = P.global_to_parted(P.absolute_to_relative(P.remove_unused_kp(pose)))
+    # map keypoint-121 index -> keypoint-137 index
+    idx_137 = np.array([0] + list(range(2, 8)) + [15, 16] + list(range(25, 137)))
+    np.testing.assert_allclose(centered[:, :2, idx_137], runtime[:, :2, :],
+                               atol=1e-9)
+
+
+def test_frame_idx_to_time():
+    assert gdu.frame_idx_to_time(0) == "00:00:00.000000"
+    assert gdu.frame_idx_to_time(15) == "00:00:01.000000"
+    assert gdu.frame_idx_to_time(15 * 3600 + 15 * 61) == "01:01:01.000000"
+
+
+def _make_clips(tmp_path, n_clips=6):
+    npz_dir = tmp_path / "npz"
+    npz_dir.mkdir()
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(n_clips):
+        pose = rng.randn(64, 3, 137) * 50 + 400
+        p = str(npz_dir / f"c{i}.npz")
+        np.savez(p, pose=pose.astype(np.float32))
+        rows.append({"dataset": "train", "pose_fn": p})
+    return pd.DataFrame(rows)
+
+
+def test_calculate_mean_std_accumulate(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "data_preprocess"))
+    mod = __import__("4_1_calculate_mean_std")
+    df = _make_clips(tmp_path)
+    s, ss, c = mod.accumulate(df["pose_fn"], "parted")
+    assert s.shape == (64, 2, 137) and c.shape == (64, 1, 137)
+    mean = s / np.maximum(c, 1)
+    std = np.sqrt(np.maximum(ss / np.maximum(c, 1) - mean ** 2, 0))
+    assert np.isfinite(mean).all() and np.isfinite(std).all()
+    # root keypoint is exactly 0 after centering -> masked out entirely
+    assert c[:, 0, 1].max() == 0
+
+
+def test_split_train_val_test_cli(tmp_path):
+    base = tmp_path / "root"
+    spk = base / "spk" / "tmp" / "intermediate_csv"
+    spk.mkdir(parents=True)
+    df = pd.DataFrame({"dataset": ["train"] * 100,
+                       "pose_fn": [f"f{i}.npz" for i in range(100)]})
+    df.to_csv(spk / "tmp_video1.csv", index=False)
+
+    script = os.path.join(REPO, "data_preprocess", "3_2_split_train_val_test.py")
+    subprocess.run([sys.executable, script, "-b", str(base), "-s", "spk"],
+                   check=True, cwd=os.path.join(REPO, "data_preprocess"))
+    out = pd.read_csv(base / "spk" / "processed_137.csv")
+    counts = out["dataset"].value_counts()
+    assert counts["train"] == 80
+    assert counts["idle"] == 13
+    assert counts["dev"] == 7  # runtime split name (the csv the dataset reads)
