@@ -94,28 +94,38 @@ class GestureDataset:
 
         clip = self.clips.iloc[idx]
         speaker = clip["speaker"]
-        arr = np.load(os.path.join(self.root_dir, clip["pose_fn"]))
-
-        audio = np.asarray(arr["audio"], dtype=np.float32)
+        clip_path = os.path.join(self.root_dir, clip["pose_fn"])
         audio_length, num_frames = parse_audio_length(
             self.cfg.AUDIO_LENGTH, self.cfg.AUDIO_SR, self.cfg.FPS)
-        audio = crop_pad_audio(audio, audio_length)
-
-        poses_with_score = np.asarray(
-            arr["pose"][: self.cfg.NUM_FRAMES, ...], dtype=np.float32)  # (T, 3, 137)
-        poses_with_score = pose_ops.remove_unused_kp(poses_with_score)
-        rel = pose_ops.absolute_to_relative(poses_with_score)
-        if self.cfg.HIERARCHICAL_POSE:
-            rel = pose_ops.global_to_parted(rel)
-
-        relative_poses = rel[:, :2, :]
-        poses_score = np.repeat(rel[:, 2:, :], 2, axis=1)
-
-        stat = self.get_speaker_stat(speaker, relative_poses.shape[-1],
+        stat = self.get_speaker_stat(speaker, 121,
                                      parted=self.cfg.HIERARCHICAL_POSE)
-        normalized = pose_ops.normalize_poses(
-            relative_poses, stat["mean"], stat["std"], self.cfg.NUM_LANDMARKS
-        ).astype(np.float32)
+
+        native = None
+        if self.cfg.NUM_LANDMARKS == 121:
+            from .native_loader import load_clip_native
+
+            native = load_clip_native(clip_path, self.cfg.NUM_FRAMES,
+                                      self.cfg.HIERARCHICAL_POSE,
+                                      stat["mean"], stat["std"], audio_length)
+        if native is not None:
+            normalized, poses_score, audio = native
+        else:
+            arr = np.load(clip_path)
+            audio = np.asarray(arr["audio"], dtype=np.float32)
+            audio = crop_pad_audio(audio, audio_length)
+
+            poses_with_score = np.asarray(
+                arr["pose"][: self.cfg.NUM_FRAMES, ...], dtype=np.float32)
+            poses_with_score = pose_ops.remove_unused_kp(poses_with_score)
+            rel = pose_ops.absolute_to_relative(poses_with_score)
+            if self.cfg.HIERARCHICAL_POSE:
+                rel = pose_ops.global_to_parted(rel)
+
+            relative_poses = rel[:, :2, :]
+            poses_score = np.repeat(rel[:, 2:, :], 2, axis=1)
+            normalized = pose_ops.normalize_poses(
+                relative_poses, stat["mean"], stat["std"], self.cfg.NUM_LANDMARKS
+            ).astype(np.float32)
 
         sample = {
             "speaker": speaker,

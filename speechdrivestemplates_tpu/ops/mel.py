@@ -122,6 +122,9 @@ def mel_spectrogram(audio: jnp.ndarray,
         return mel_spectrogram_pallas(audio, sr=sr, n_fft=n_fft, win_length=win_length,
                                       hop_length=hop_length, n_mels=n_mels,
                                       f_min=f_min, f_max=f_max)
+    if impl == "conv":
+        return _mel_conv(audio, sr, n_fft, win_length, hop_length, n_mels,
+                         f_min, f_max)
 
     window = jnp.asarray(_window_np(win_length, n_fft))
     fb = jnp.asarray(_mel_filterbank_np(sr, n_fft, n_mels, f_min, f_max))
@@ -143,6 +146,31 @@ def mel_spectrogram(audio: jnp.ndarray,
 
     mel = jnp.matmul(power, fb, precision=hi)  # (..., T, n_mels)
     return jnp.swapaxes(mel, -1, -2)  # (..., n_mels, T)
+
+
+def _mel_conv(audio: jnp.ndarray, sr, n_fft, win_length, hop_length, n_mels,
+              f_min, f_max) -> jnp.ndarray:
+    """STFT as a strided convolution: the windowed DFT basis becomes a filter bank
+    conv1d(audio, win*[cos|sin], stride=hop).  XLA lowers this to an implicit-GEMM
+    on the MXU without materializing the (B, T, n_fft) frame matrix in HBM — the
+    TPU-native formulation of framing."""
+    hi = jax.lax.Precision.HIGHEST
+    window = _window_np(win_length, n_fft)
+    cos_m, sin_m = _dft_matrices_np(n_fft)
+    n_freq = n_fft // 2 + 1
+    # filters: (n_fft taps, in=1, out=2*n_freq) -> one conv for re and im together
+    filt = np.concatenate([cos_m * window[:, None], sin_m * window[:, None]],
+                          axis=1)[:, None, :]
+    pad = n_fft // 2
+    x = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)], mode="reflect")
+    out = jax.lax.conv_general_dilated(
+        x[..., None], jnp.asarray(filt), window_strides=(hop_length,),
+        padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"), precision=hi)
+    re, im = out[..., :n_freq], out[..., n_freq:]
+    power = re * re + im * im  # (..., T, n_freq)
+    fb = jnp.asarray(_mel_filterbank_np(sr, n_fft, n_mels, f_min, f_max))
+    mel = jnp.matmul(power, fb, precision=hi)
+    return jnp.swapaxes(mel, -1, -2)
 
 
 def mel_frames_for_audio_length(audio_length: int, hop_length: int = HOP_LENGTH) -> int:

@@ -39,26 +39,29 @@ _G = 32                    # gcd(hop, n_fft)
 _ROWS_PER_HOP = HOP_LENGTH // _G      # 5
 _ROWS_PER_FRAME = N_FFT // _G         # 16
 SPAN_ROWS = _ROWS_PER_HOP * FRAME_BLOCK + _ROWS_PER_FRAME  # 656 (8-aligned)
-SPAN = SPAN_ROWS * _G      # samples DMA'd per program
+SPAN = SPAN_ROWS * _G      # samples covered per program
 
 
-def _kernel(audio_ref, win_ref, cos_ref, sin_ref, fb_ref, out_ref,
-            span_ref, sem):
+def _kernel(rows_per_sample_ref, audio_ref, win_ref, cos_ref, sin_ref, fb_ref,
+            out_ref, span_ref, sem):
     b = pl.program_id(0)
     tb = pl.program_id(1)
 
-    start = tb * FRAME_BLOCK * HOP_LENGTH
+    # audio is (B*R, 32): flat row index = b * R + block offset
+    row_start = pl.multiple_of(
+        b * rows_per_sample_ref[0] + tb * FRAME_BLOCK * _ROWS_PER_HOP, 8)
     dma = pltpu.make_async_copy(
-        audio_ref.at[b, pl.ds(start, SPAN)], span_ref, sem)
+        audio_ref.at[pl.ds(row_start, SPAN_ROWS), :], span_ref, sem)
     dma.start()
     dma.wait()
 
-    rows = span_ref[:].reshape(SPAN_ROWS, _G)
-    # frames[i, 32j:32j+32] = rows[5i + j]; static slice + static strided pick per j.
+    rows = span_ref[:]
+    # frames[i, 32j:32j+32] = rows[5i + j]; static slice + sublane-split reshape +
+    # stride-5 row pick (verified supported by Mosaic).
     slabs = []
     for j in range(_ROWS_PER_FRAME):
         block = rows[j: j + _ROWS_PER_HOP * FRAME_BLOCK]       # (5*FB, 32) static
-        slabs.append(block.reshape(FRAME_BLOCK, _ROWS_PER_HOP * _G)[:, :_G])
+        slabs.append(block.reshape(FRAME_BLOCK, _ROWS_PER_HOP, _G)[:, 0, :])
     frames = jnp.concatenate(slabs, axis=1)                     # (FB, n_fft)
 
     f = frames * win_ref[:]
@@ -70,10 +73,12 @@ def _kernel(audio_ref, win_ref, cos_ref, sin_ref, fb_ref, out_ref,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _mel_pallas_2d(audio_padded: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """audio_padded: (B, L_pad) reflect- and block-padded.
+    """audio_padded: (B, L_pad) reflect- and block-padded, L_pad % 32 == 0.
     Returns (B, grid_t * FRAME_BLOCK, n_mels)."""
     B, L = audio_padded.shape
     grid_t = (L - SPAN) // (FRAME_BLOCK * HOP_LENGTH) + 1
+    rows_per_sample = L // _G
+    audio_rows = audio_padded.reshape(B * rows_per_sample, _G)
 
     window = jnp.asarray(_window_np(WIN_LENGTH, N_FFT))[None, :]  # (1, n_fft)
     cos_m, sin_m = _dft_matrices_np(N_FFT)
@@ -81,33 +86,39 @@ def _mel_pallas_2d(audio_padded: jnp.ndarray, interpret: bool = False) -> jnp.nd
 
     n_freq = N_FFT // 2 + 1
     flops_per_block = 2 * FRAME_BLOCK * (2 * N_FFT * n_freq + n_freq * N_MELS)
+    rps = jnp.asarray([rows_per_sample], jnp.int32)
     out = pl.pallas_call(
         _kernel,
-        grid=(B, grid_t),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # audio stays in HBM; manual DMA
-            pl.BlockSpec((1, N_FFT), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_FFT, n_freq), lambda b, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_FFT, n_freq), lambda b, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_freq, N_MELS), lambda b, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, FRAME_BLOCK, N_MELS), lambda b, t: (b, t, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, grid_t),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # audio in HBM; manual DMA
+                pl.BlockSpec((1, N_FFT), lambda b, t, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N_FFT, n_freq), lambda b, t, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N_FFT, n_freq), lambda b, t, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_freq, N_MELS), lambda b, t, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, FRAME_BLOCK, N_MELS),
+                                   lambda b, t, *_: (b, t, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((SPAN_ROWS, _G), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
         out_shape=jax.ShapeDtypeStruct((B, grid_t * FRAME_BLOCK, N_MELS),
                                        jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((SPAN,), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
         cost_estimate=pl.CostEstimate(
             flops=B * grid_t * flops_per_block,
             bytes_accessed=B * (L + grid_t * FRAME_BLOCK * N_MELS) * 4,
             transcendentals=0),
         interpret=interpret,
-    )(audio_padded, window, jnp.asarray(cos_m), jnp.asarray(sin_m), fb)
+    )(rps, audio_rows, window, jnp.asarray(cos_m), jnp.asarray(sin_m), fb)
     return out
 
 
@@ -131,6 +142,7 @@ def mel_spectrogram_pallas(audio: jnp.ndarray, sr: int = SAMPLE_RATE,
     x = jnp.pad(x, [(0, 0), (pad, pad)], mode="reflect")
     grid_t = -(-T // FRAME_BLOCK)
     need = (grid_t - 1) * FRAME_BLOCK * hop_length + SPAN
+    need = max(need, -(-x.shape[-1] // _G) * _G)  # also 32-align for the row view
     if need > x.shape[-1]:
         x = jnp.pad(x, [(0, 0), (0, need - x.shape[-1])])
 

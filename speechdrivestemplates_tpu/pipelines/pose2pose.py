@@ -79,10 +79,15 @@ class Pose2Pose(Trainer):
         return self.state
 
     def load_state(self, tree, load_optimizers: bool):
+        from .trainer import restructure_like
+
         for k, v in tree.items():
-            if not load_optimizers and k.startswith("opt"):
+            if not load_optimizers and (k.startswith("opt") or k == "step"):
                 continue
-            self.state[k] = jax.tree.map(jnp.asarray, v)
+            if k.startswith("opt") and k in self.state:
+                self.state[k] = restructure_like(self.state[k], v)
+            else:
+                self.state[k] = jax.tree.map(jnp.asarray, v)
         self.state = replicate(self.mesh, self.state)
 
     # -- traced helpers ---------------------------------------------------------------

@@ -40,6 +40,29 @@ def _to_host_scalar(v) -> float:
     return float(np.asarray(v))
 
 
+def restructure_like(template: Any, raw: Any) -> Any:
+    """Rebuild a pytree with ``template``'s structure (NamedTuples, tuples, dicts)
+    from orbax's raw dict-of-dicts restore.  Orbax serializes NamedTuples as dicts
+    keyed by field name and tuples/lists as dicts keyed by '0','1',...; a raw
+    restore therefore loses the optax state types this key-based walk restores."""
+    if hasattr(template, "_fields"):  # NamedTuple (optax states)
+        return type(template)(**{
+            f: restructure_like(getattr(template, f), raw[f])
+            for f in template._fields})
+    if isinstance(template, (tuple, list)):
+        vals = [restructure_like(t, raw[str(i)] if isinstance(raw, dict) else raw[i])
+                for i, t in enumerate(template)]
+        return type(template)(vals) if isinstance(template, list) else tuple(vals)
+    if isinstance(template, dict) or hasattr(template, "items"):
+        return {k: restructure_like(v, raw[k]) for k, v in template.items()}
+    if raw is None:
+        return template
+    import jax.numpy as jnp
+
+    arr = jnp.asarray(raw)
+    return arr.astype(template.dtype) if hasattr(template, "dtype") else arr
+
+
 class Trainer:
     def __init__(self, cfg) -> None:
         self.cfg = cfg

@@ -203,14 +203,20 @@ class Voice2Pose(Trainer):
         return self.state
 
     def load_state(self, tree, load_optimizers: bool):
+        from .trainer import restructure_like
+
         for k, v in tree.items():
-            if not load_optimizers and k.startswith("opt_"):
+            if not load_optimizers and (k.startswith("opt_") or k == "step"):
                 continue
             if k == "params_pe" and self.cfg.VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT:
                 continue  # freshly loaded frozen encoder wins
             if not self.cfg.VOICE2POSE.STRICT_LOADING and k not in self.state:
                 continue
-            self.state[k] = jax.tree.map(jnp.asarray, v)
+            if k.startswith("opt_") and k in self.state:
+                # orbax raw restores lose optax NamedTuple types; rebuild by key
+                self.state[k] = restructure_like(self.state[k], v)
+            else:
+                self.state[k] = jax.tree.map(jnp.asarray, v)
         self.state = replicate(self.mesh, self.state)
 
     # -- forward helpers (traced) ----------------------------------------------------
