@@ -41,16 +41,24 @@ class GestureDataset:
         self.cfg = cfg.DATASET
         self.full_cfg = cfg
         assert speaker is not None, 'The speaker is "None"!'
-        self.root_dir = os.path.join(root_dir, speaker)
+        # multi-speaker: 'oliver+kubinec' trains on the union, with per-row
+        # speaker stats (the reference is single-speaker; batches already carry
+        # per-sample stats so the union costs nothing)
+        self.speakers = speaker.replace("+", " ").split()
+        self.speaker = self.speakers[0]
+        self.root_dir = os.path.join(root_dir, self.speaker)
         self.split = split
-        self.speaker = speaker
 
-        if split == "train":
-            self.clips = self._read_csv()
-            self.clips = self.clips[self.clips["dataset"] == "train"].reset_index(drop=True)
-        elif split == "val":
-            self.clips = self._read_csv()
-            self.clips = self.clips[self.clips["dataset"] == "dev"].reset_index(drop=True)
+        if split in ("train", "val"):
+            want = "train" if split == "train" else "dev"
+            frames = []
+            for sp in self.speakers:
+                sp_dir = os.path.join(root_dir, sp)
+                df = self._read_csv(sp_dir)
+                df = df[df["dataset"] == want].copy()
+                df["_dir"] = sp_dir
+                frames.append(df)
+            self.clips = pd.concat(frames).reset_index(drop=True)
         elif split == "demo":
             if len(demo_input.split()) == 1 and os.path.isdir(demo_input):
                 file_list = os.listdir(demo_input)
@@ -70,8 +78,8 @@ class GestureDataset:
         self._cache_lock = threading.Lock()
 
     # -- plumbing --------------------------------------------------------------
-    def _read_csv(self) -> pd.DataFrame:
-        csv_path = os.path.join(self.root_dir, "processed_137.csv")
+    def _read_csv(self, sp_dir: Optional[str] = None) -> pd.DataFrame:
+        csv_path = os.path.join(sp_dir or self.root_dir, "processed_137.csv")
         if not os.path.exists(csv_path):
             raise FileNotFoundError(f"No csv file: {csv_path}")
         return pd.read_csv(csv_path)
@@ -94,7 +102,8 @@ class GestureDataset:
 
         clip = self.clips.iloc[idx]
         speaker = clip["speaker"]
-        clip_path = os.path.join(self.root_dir, clip["pose_fn"])
+        clip_dir = clip["_dir"] if "_dir" in clip else self.root_dir
+        clip_path = os.path.join(clip_dir, clip["pose_fn"])
         audio_length, num_frames = parse_audio_length(
             self.cfg.AUDIO_LENGTH, self.cfg.AUDIO_SR, self.cfg.FPS)
         stat = self.get_speaker_stat(speaker, 121,
@@ -276,3 +285,42 @@ class DataLoader:
             if item is sentinel:
                 break
             yield item
+
+
+if __name__ == "__main__":
+    # Headless-safe smoke test (reference gesture_dataset.py:239-277 renders with
+    # cv2.imshow; here frames are written under /tmp).  Usage:
+    #   python -m speechdrivestemplates_tpu.datasets.gesture_dataset [root] [speaker]
+    import sys
+    import tempfile
+
+    from ..config import get_cfg_defaults
+    from ..ops import pose as _pose_ops
+    from ..utils.viz import vis_relative_pose_clip
+
+    cfg = get_cfg_defaults()
+    root = sys.argv[1] if len(sys.argv) > 1 else cfg.DATASET.ROOT_DIR
+    speaker = sys.argv[2] if len(sys.argv) > 2 else "oliver"
+    cfg.DATASET.ROOT_DIR = root
+    cfg.DATASET.SPEAKER = speaker
+    cfg.freeze()
+    print(cfg)
+
+    ds = GestureDataset(root, speaker, "train", cfg)
+    print(f"{len(ds)} train clips")
+    sample = ds[0]
+    poses = sample["poses"]
+    stat = sample["speaker_stat"]
+    rel = _pose_ops.denormalize_poses(poses, stat["mean"], stat["std"])
+    if cfg.DATASET.HIERARCHICAL_POSE:
+        rel = _pose_ops.parted_to_global(rel)
+    out_dir = tempfile.mkdtemp(prefix="sdt_dataset_smoke_")
+    frames = vis_relative_pose_clip(rel[:8], (720, 1280))
+    try:
+        import cv2
+
+        for i, fr in enumerate(frames):
+            cv2.imwrite(f"{out_dir}/frame_{i:03d}.jpg", fr)
+        print(f"wrote {len(frames)} rendered frames to {out_dir}")
+    except Exception as e:  # pragma: no cover
+        print(f"cv2 unavailable ({e}); skipping render")

@@ -42,33 +42,36 @@ SPAN_ROWS = _ROWS_PER_HOP * FRAME_BLOCK + _ROWS_PER_FRAME  # 656 (8-aligned)
 SPAN = SPAN_ROWS * _G      # samples covered per program
 
 
-def _kernel(rows_per_sample_ref, audio_ref, win_ref, cos_ref, sin_ref, fb_ref,
-            out_ref, span_ref, sem):
-    b = pl.program_id(0)
-    tb = pl.program_id(1)
+def _make_kernel(rows_per_sample: int):
+    def _kernel(audio_ref, win_ref, cos_ref, sin_ref, fb_ref,
+                out_ref, span_ref, sem):
+        b = pl.program_id(0)
+        tb = pl.program_id(1)
 
-    # audio is (B*R, 32): flat row index = b * R + block offset
-    row_start = pl.multiple_of(
-        b * rows_per_sample_ref[0] + tb * FRAME_BLOCK * _ROWS_PER_HOP, 8)
-    dma = pltpu.make_async_copy(
-        audio_ref.at[pl.ds(row_start, SPAN_ROWS), :], span_ref, sem)
-    dma.start()
-    dma.wait()
+        # audio is (B*R, 32): flat row index = b * R + block offset
+        row_start = pl.multiple_of(
+            b * rows_per_sample + tb * FRAME_BLOCK * _ROWS_PER_HOP, 8)
+        dma = pltpu.make_async_copy(
+            audio_ref.at[pl.ds(row_start, SPAN_ROWS), :], span_ref, sem)
+        dma.start()
+        dma.wait()
 
-    rows = span_ref[:]
-    # frames[i, 32j:32j+32] = rows[5i + j]; static slice + sublane-split reshape +
-    # stride-5 row pick (verified supported by Mosaic).
-    slabs = []
-    for j in range(_ROWS_PER_FRAME):
-        block = rows[j: j + _ROWS_PER_HOP * FRAME_BLOCK]       # (5*FB, 32) static
-        slabs.append(block.reshape(FRAME_BLOCK, _ROWS_PER_HOP, _G)[:, 0, :])
-    frames = jnp.concatenate(slabs, axis=1)                     # (FB, n_fft)
+        rows = span_ref[:]
+        # frames[i, 32j:32j+32] = rows[5i + j]; static slice + sublane-split
+        # reshape + stride-5 row pick (verified supported by Mosaic).
+        slabs = []
+        for j in range(_ROWS_PER_FRAME):
+            block = rows[j: j + _ROWS_PER_HOP * FRAME_BLOCK]   # (5*FB, 32) static
+            slabs.append(block.reshape(FRAME_BLOCK, _ROWS_PER_HOP, _G)[:, 0, :])
+        frames = jnp.concatenate(slabs, axis=1)                 # (FB, n_fft)
 
-    f = frames * win_ref[:]
-    re = jnp.dot(f, cos_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(f, sin_ref[:], preferred_element_type=jnp.float32)
-    power = re * re + im * im
-    out_ref[0] = jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32)
+        f = frames * win_ref[:]
+        re = jnp.dot(f, cos_ref[:], preferred_element_type=jnp.float32)
+        im = jnp.dot(f, sin_ref[:], preferred_element_type=jnp.float32)
+        power = re * re + im * im
+        out_ref[0] = jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32)
+
+    return _kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -86,39 +89,33 @@ def _mel_pallas_2d(audio_padded: jnp.ndarray, interpret: bool = False) -> jnp.nd
 
     n_freq = N_FFT // 2 + 1
     flops_per_block = 2 * FRAME_BLOCK * (2 * N_FFT * n_freq + n_freq * N_MELS)
-    rps = jnp.asarray([rows_per_sample], jnp.int32)
     out = pl.pallas_call(
-        _kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(B, grid_t),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # audio in HBM; manual DMA
-                pl.BlockSpec((1, N_FFT), lambda b, t, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((N_FFT, n_freq), lambda b, t, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((N_FFT, n_freq), lambda b, t, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_freq, N_MELS), lambda b, t, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, FRAME_BLOCK, N_MELS),
-                                   lambda b, t, *_: (b, t, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((SPAN_ROWS, _G), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
-        ),
+        _make_kernel(rows_per_sample),
+        grid=(B, grid_t),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # audio in HBM; manual DMA
+            pl.BlockSpec((1, N_FFT), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_FFT, n_freq), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_FFT, n_freq), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_freq, N_MELS), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, FRAME_BLOCK, N_MELS), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, grid_t * FRAME_BLOCK, N_MELS),
                                        jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((SPAN_ROWS, _G), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
         cost_estimate=pl.CostEstimate(
             flops=B * grid_t * flops_per_block,
             bytes_accessed=B * (L + grid_t * FRAME_BLOCK * N_MELS) * 4,
             transcendentals=0),
         interpret=interpret,
-    )(rps, audio_rows, window, jnp.asarray(cos_m), jnp.asarray(sin_m), fb)
+    )(audio_rows, window, jnp.asarray(cos_m), jnp.asarray(sin_m), fb)
     return out
 
 

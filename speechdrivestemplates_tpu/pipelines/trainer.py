@@ -375,6 +375,7 @@ class Trainer:
             self.train_dataloader.set_epoch(epoch)
             for t_step, batch in enumerate(self.train_dataloader):
                 global_step += 1
+                self._maybe_profile(cfg, global_step)
                 self.train_step(batch, t_step + 1, global_step, epoch)
 
             if epoch % cfg.TRAIN.CHECKPOINT_INTERVAL == 0:
@@ -395,6 +396,21 @@ class Trainer:
 
     def on_epoch_end(self, epoch: int) -> None:
         """LR schedules are step-indexed inside optax; nothing to tick by default."""
+
+    def _maybe_profile(self, cfg, global_step: int) -> None:
+        """jax.profiler trace over SYS.PROFILE.NUM_STEPS steps starting at
+        SYS.PROFILE.START_STEP (the reference has no profiler; SURVEY §5)."""
+        if not cfg.SYS.PROFILE.ENABLED or not self.is_master_process():
+            return
+        start = cfg.SYS.PROFILE.START_STEP
+        if global_step == start:
+            out = cfg.SYS.PROFILE.OUT_DIR or os.path.join(self.base_path, "profile")
+            os.makedirs(out, exist_ok=True)
+            logging.info("starting jax.profiler trace -> %s", out)
+            jax.profiler.start_trace(out)
+        elif global_step == start + cfg.SYS.PROFILE.NUM_STEPS:
+            jax.profiler.stop_trace()
+            logging.info("stopped jax.profiler trace")
 
     def validate(self, test_dataloader, epoch):
         if self.is_master_process():

@@ -368,7 +368,7 @@ class Voice2Pose(Trainer):
         gen_opt = self.optimizers["optimizerG"]
         code_opt = self.optimizers.get("optimizerClipCode")
         disc_opt = self.optimizers.get("optimizerD_pose")
-        mel_impl = "dft"
+        mel_impl = self.cfg.SYS.MEL_IMPL
 
         def step(state, batch, rng):
             mel = mel_spectrogram(batch["audio"], impl=mel_impl)
@@ -441,8 +441,10 @@ class Voice2Pose(Trainer):
         return jax.jit(step, donate_argnums=(0,))
 
     def _build_eval_step(self, num_frames: int, t_mel: int):
+        mel_impl = self.cfg.SYS.MEL_IMPL
+
         def step(state, batch, rng, interpolation_coeff):
-            mel = mel_spectrogram(batch["audio"], impl="dft")
+            mel = mel_spectrogram(batch["audio"], impl=mel_impl)
             code = self._condition_code(state, batch, False, rng,
                                         interpolation_coeff)
             pred, _ = self._apply_generator(
