@@ -15,26 +15,35 @@ import sys
 import time
 
 
-def bench_inference(batch: int = 32, iters: int = 20, warmup: int = 3):
+def bench_inference(batch: int = 32, iters: int = 40, warmup: int = 5):
+    """Device-resident throughput: inputs are pre-staged on the device (several
+    distinct buffers, cycled, so no execution can be deduped) and host<->device
+    transfer is excluded — the production loader overlaps it with compute."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from __graft_entry__ import entry
 
     fn, (variables, audio, code) = entry()
-    # scale the batch
-    audio = jnp.tile(audio, (max(1, batch // audio.shape[0]), 1))[:batch]
-    code = jnp.tile(code, (max(1, batch // code.shape[0]), 1))[:batch]
+    rng = np.random.RandomState(0)
+    n_bufs = 4
+    audios = [jax.device_put(jnp.asarray(
+        rng.randn(batch, audio.shape[-1]).astype(np.float32) * 0.1))
+        for _ in range(n_bufs)]
+    codes = [jax.device_put(jnp.asarray(
+        rng.randn(batch, code.shape[-1]).astype(np.float32)))
+        for _ in range(n_bufs)]
     jfn = jax.jit(fn)
 
-    out = jfn(variables, audio, code)
+    out = jfn(variables, audios[0], codes[0])
     out.block_until_ready()
-    for _ in range(warmup):
-        jfn(variables, audio, code).block_until_ready()
+    for i in range(warmup):
+        jfn(variables, audios[i % n_bufs], codes[i % n_bufs]).block_until_ready()
 
     tic = time.perf_counter()
-    for _ in range(iters):
-        out = jfn(variables, audio, code)
+    for i in range(iters):
+        out = jfn(variables, audios[i % n_bufs], codes[i % n_bufs])
     out.block_until_ready()
     toc = time.perf_counter() - tic
 
@@ -68,17 +77,17 @@ def bench_train_step(batch: int = 32, iters: int = 10, warmup: int = 2):
         pipe.setup_model(cfg)
         pipe.setup_optimizer()
 
-        db = pipe._device_batch(next(iter(pipe.train_dataloader)))
+        dbs = [pipe._device_batch(b) for b in pipe.train_dataloader]
         step_fn = pipe._get_train_step()
-        rng = jax.random.PRNGKey(0)
+        rngs = [jax.random.PRNGKey(i) for i in range(4)]
 
         state = pipe.state
-        for _ in range(warmup):
-            state, losses, _ = step_fn(state, db, rng)
+        for i in range(warmup):
+            state, losses, _ = step_fn(state, dbs[i % len(dbs)], rngs[i % 4])
         jax.block_until_ready(losses)
         tic = time.perf_counter()
-        for _ in range(iters):
-            state, losses, _ = step_fn(state, db, rng)
+        for i in range(iters):
+            state, losses, _ = step_fn(state, dbs[i % len(dbs)], rngs[i % 4])
         jax.block_until_ready(losses)
         toc = time.perf_counter() - tic
         return iters / toc

@@ -271,10 +271,20 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
+        def fetch(b):
+            if self.num_workers > 1:
+                # item-level thread pool: the native C++ loader releases the GIL,
+                # so threads genuinely overlap npz parse + pose transforms
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+                    return _collate(list(ex.map(lambda i: self.dataset[int(i)], b)))
+            return _collate([self.dataset[int(i)] for i in b])
+
         def producer():
             try:
                 for b in batches:
-                    q.put(_collate([self.dataset[int(i)] for i in b]))
+                    q.put(fetch(b))
             finally:
                 q.put(sentinel)
 

@@ -109,7 +109,8 @@ class Trainer:
             self.train_dataloader = DataLoader(
                 self.train_dataset, batch_size=cfg.TRAIN.BATCH_SIZE // nshards,
                 shuffle=True, drop_last=True, seed=cfg.SYS.SEED,
-                num_shards=nshards, shard_index=shard)
+                num_shards=nshards, shard_index=shard,
+                num_workers=cfg.SYS.NUM_WORKERS)
             self.num_train_samples = len(self.train_dataset)
             self.num_train_batches = len(self.train_dataloader)
             self.result_saving_interval_train = max(

@@ -1,15 +1,23 @@
 """Test environment: force JAX onto CPU with 8 virtual devices so sharding/collective
-tests run anywhere (the TPU analog of a gloo fake backend; see SURVEY.md §4)."""
+tests run anywhere (the TPU analog of a gloo fake backend; see SURVEY.md §4).
+
+The dev image pre-registers a TPU ('axon') backend from sitecustomize, so the env
+var alone is not enough — jax.config is updated explicitly before any test touches
+a device.
+"""
 
 import os
 
-# Must be set before jax is imported by any test module.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
