@@ -58,8 +58,14 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     Non-array leaves (e.g. the speaker-name list) must be stripped before calling.
     """
     sh = batch_sharding(mesh)
+    n = mesh.size
 
     def put(x):
+        if np.ndim(x) >= 1 and x.shape[0] % n != 0:
+            raise ValueError(
+                f"batch axis ({x.shape[0]}) must divide the data mesh size ({n}); "
+                f"set TRAIN/TEST.BATCH_SIZE to a multiple of the device count or "
+                f"shrink the mesh with SYS.MESH.DATA")
         return jax.device_put(x, sh)
 
     return jax.tree.map(put, batch)

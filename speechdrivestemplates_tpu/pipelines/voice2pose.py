@@ -32,7 +32,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from flax.core import freeze, unfreeze
 
 from ..models import build_model
 from ..ops import pose as pose_ops
@@ -155,15 +154,15 @@ class Voice2Pose(Trainer):
         return np.asarray(tree["state"]["clip_code_mu"])
 
     def _load_pose_encoder(self, path: str) -> None:
-        """Frozen FGD encoder weights from a Pose2Pose (AE) checkpoint
-        (reference voice2pose.py:234-242)."""
+        """Frozen FGD encoder weights from a Pose2Pose (AE) checkpoint — the AE's
+        'encoder' subtree transplants directly onto the standalone PoseSeqEncoder
+        (reference strips the 'module.ae.encoder.' prefix, voice2pose.py:234-242)."""
         tree = self.load_checkpoint_tree(path)
-        ae_params = tree["state"]["params_ae"]
-        self.state["params_pe"] = freeze(unfreeze(ae_params)["encoder"]) \
-            if "encoder" in ae_params else ae_params["encoder"]
-        bs = tree["state"].get("batch_stats_ae", {})
-        if bs and "encoder" in bs:
-            self.state["batch_stats_pe"] = bs["encoder"]
+        self.state["params_pe"] = jax.tree.map(
+            jnp.asarray, tree["state"]["params_ae"]["encoder"])
+        bs = tree["state"].get("batch_stats_ae") or {}
+        if "encoder" in bs:
+            self.state["batch_stats_pe"] = jax.tree.map(jnp.asarray, bs["encoder"])
 
     # -- optimizers ----------------------------------------------------------------
     def setup_optimizer(self, checkpoint=None, last_epoch: int = -1):

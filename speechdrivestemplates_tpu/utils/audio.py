@@ -37,12 +37,16 @@ def crop_pad_audio(wav: np.ndarray, audio_length: int) -> np.ndarray:
 def load_wav(path: str, target_sr: int = 16000) -> np.ndarray:
     """Load an audio file as mono float32 at ``target_sr`` (librosa.load equivalent).
 
-    Supports .wav via scipy; resamples with scipy.signal.resample_poly (kaiser window),
-    which is numerically close to librosa's default resampler for speech.
+    .wav loads via scipy; other containers (m4a etc., reference
+    gesture_dataset.py:64 supports them through librosa/ffmpeg) are decoded with the
+    ffmpeg binary when present.  Resampling uses scipy's polyphase filter, which is
+    numerically close to librosa's default resampler for speech.
     """
     from scipy.io import wavfile
     from scipy.signal import resample_poly
 
+    if not path.lower().endswith(".wav"):
+        return _load_via_ffmpeg(path, target_sr)
     sr, data = wavfile.read(path)
     data = np.asarray(data)
     if data.dtype == np.int16:
@@ -59,3 +63,19 @@ def load_wav(path: str, target_sr: int = 16000) -> np.ndarray:
         g = np.gcd(int(sr), int(target_sr))
         data = resample_poly(data, target_sr // g, sr // g).astype(np.float32)
     return np.ascontiguousarray(data, dtype=np.float32)
+
+
+def _load_via_ffmpeg(path: str, target_sr: int) -> np.ndarray:
+    """Decode any ffmpeg-supported container to mono float32 PCM at target_sr."""
+    import shutil
+    import subprocess
+
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        raise NotImplementedError(
+            f"non-wav audio ({path}) needs the ffmpeg binary, which is not on PATH")
+    out = subprocess.run(
+        [ffmpeg, "-i", path, "-f", "f32le", "-ac", "1", "-ar", str(target_sr),
+         "pipe:1"],
+        check=True, capture_output=True)
+    return np.frombuffer(out.stdout, dtype=np.float32).copy()

@@ -36,7 +36,26 @@ def _base_cfg(preset, data_root, out_dir):
     cfg.TRAIN.VALIDATE = True
     cfg.SYS.OUTPUT_DIR = out_dir
     cfg.SYS.LOG_INTERVAL = 1
+    # task-logic e2e runs on a single-device mesh (batch 4); the true
+    # data-parallel path is covered by test_data_parallel_e2e + dryrun_multichip
+    cfg.SYS.MESH.DATA = 1
     return cfg
+
+
+@pytest.mark.slow
+def test_data_parallel_e2e(data_root, tmp_path):
+    """Full training epoch with the batch sharded over all 8 virtual devices."""
+    out = str(tmp_path / "out")
+    cfg = _base_cfg("voice2pose_sdt_bp.yaml", data_root, out)
+    cfg.SYS.MESH.DATA = -1  # all 8
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.TEST.BATCH_SIZE = 8
+    cfg.TRAIN.VALIDATE = False
+    cfg.TRAIN.SAVE_VIDEO = False
+    cfg.freeze()
+    pipe = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
+    pipe.train(cfg, "e2e-dp", None)
+    assert int(np.asarray(pipe.state["step"])) == 1  # 8 clips / batch 8
 
 
 def _latest_ckpt(out_dir):

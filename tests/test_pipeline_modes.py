@@ -35,6 +35,7 @@ def _cfg(preset, data_root, out_dir, **overrides):
     cfg.TRAIN.SAVE_NPZ = False
     cfg.TRAIN.VALIDATE = False
     cfg.SYS.OUTPUT_DIR = out_dir
+    cfg.SYS.MESH.DATA = 1  # single-device mesh: these tests cover task logic
     for k, v in overrides.items():
         node = cfg
         parts = k.split(".")
