@@ -56,6 +56,16 @@ def dir_video2frames(video_dir: str, target_dir: str, fps: int = FPS) -> None:
               os.path.join(out_dir, f"{stem}_%6d.jpg")])
 
 
+def dir_change_resolution(video_dir: str, target_dir: str, height: int = 720) -> None:
+    """Re-encode every video scaled to the given height (reference
+    generate_dataset_utils.py:47-53)."""
+    os.makedirs(target_dir, exist_ok=True)
+    for video_nm in sorted(os.listdir(video_dir)):
+        _run([_ffmpeg(), "-i", os.path.join(video_dir, video_nm),
+              "-qscale", "0", "-strict", "-2", "-vf", f"scale=-1:{height}",
+              "-y", os.path.join(target_dir, video_nm)])
+
+
 def save_audio_sample_from_video(vid_path: str, audio_out_path: str,
                                  audio_start: str, audio_end: str,
                                  sr: int = 48000) -> None:

@@ -6,15 +6,17 @@ power + mel projection entirely in VMEM:
 
   HBM traffic: read audio once ((B, L) fp32), write mel once ((B, T, 80) fp32).
   The unfused path materializes the frame matrix (B, T, 512) in HBM — ~13x the
-  audio bytes — so fusion trades two small MXU matmuls for a large cut in
-  frontend HBM bytes.
+  audio bytes.
 
-Framing without unaligned loads: hop=160 and n_fft=512 share gcd 32, so the audio
-span of a frame block viewed as (rows, 32) makes every frame a run of 16 consecutive
-rows starting at row 5*i.  For each lane-offset j in [0, 16) the column slab
-frames[:, 32j:32j+32] is the STATIC slice rows[j : j + 5*FB] reshaped to (FB, 5, 32)
-with the stride-5 row picked — all static shapes, no dynamic unaligned indexing,
-fully vectorizable by Mosaic.
+Framing under TPU tiling constraints (last dim must be 128-lane aligned):
+hop=160 and n_fft=512 share gcd 32, so audio decomposes into logical 32-sample
+"granules"; frame i is granules [5i, 5i+16).  Granules pack 4-per-VMEM-row in a
+(rows, 128) layout, so granule g lives at [g//4, 32*(g%4) : 32*(g%4)+32].  Split
+frames by class c = i % 4: for fixed (c, j) the j-th granule of every class-c frame
+sits at a FIXED lane offset with row stride 5 — extractable with a static row slice,
+a sublane-split reshape, and a static lane slice (all verified Mosaic-compilable).
+The class-stacked frame matrix feeds one (128, 512) @ (512, 257) MXU pass and the
+row de-interleave happens on the tiny (128, 80) mel output.
 
 Grid: (B, ceil(T / FRAME_BLOCK)).  The DFT/mel matrices (~1.2 MB) stay resident in
 VMEM across the grid.  Numerics match ``mel.mel_spectrogram(impl='dft')`` (tested)
@@ -35,11 +37,15 @@ from .mel import (F_MAX, F_MIN, HOP_LENGTH, N_FFT, N_MELS, SAMPLE_RATE, WIN_LENG
                   _dft_matrices_np, _mel_filterbank_np, _window_np)
 
 FRAME_BLOCK = 128          # frames per program
-_G = 32                    # gcd(hop, n_fft)
-_ROWS_PER_HOP = HOP_LENGTH // _G      # 5
-_ROWS_PER_FRAME = N_FFT // _G         # 16
-SPAN_ROWS = _ROWS_PER_HOP * FRAME_BLOCK + _ROWS_PER_FRAME  # 656 (8-aligned)
-SPAN = SPAN_ROWS * _G      # samples covered per program
+_G = 32                    # granule: gcd(hop, n_fft)
+_GPH = HOP_LENGTH // _G    # granules per hop = 5
+_GPF = N_FFT // _G         # granules per frame = 16
+_PACK = 128 // _G          # granules per packed 128-lane row = 4
+_CLS = FRAME_BLOCK // _PACK  # frames per class = 32
+# packed rows needed: max granule = 20*(CLS-1) + 5*(PACK-1) + (GPF-1) = 650;
+# per-(c,j) static blocks reach row (5c+j)//4 + 5*(CLS-1)*? ... bound below:
+SPAN_ROWS = 168            # covers row (5*3+15)//4 + 160 = 167; 8-aligned
+SPAN = SPAN_ROWS * 128     # samples covered per program (>= frame reach 20832)
 
 
 def _make_kernel(rows_per_sample: int):
@@ -48,40 +54,50 @@ def _make_kernel(rows_per_sample: int):
         b = pl.program_id(0)
         tb = pl.program_id(1)
 
-        # audio is (B*R, 32): flat row index = b * R + block offset
+        # packed row index of this block's first granule (multiple of 160)
         row_start = pl.multiple_of(
-            b * rows_per_sample + tb * FRAME_BLOCK * _ROWS_PER_HOP, 8)
+            b * rows_per_sample + tb * (FRAME_BLOCK * HOP_LENGTH // 128), 8)
         dma = pltpu.make_async_copy(
             audio_ref.at[pl.ds(row_start, SPAN_ROWS), :], span_ref, sem)
         dma.start()
         dma.wait()
 
-        rows = span_ref[:]
-        # frames[i, 32j:32j+32] = rows[5i + j]; static slice + sublane-split
-        # reshape + stride-5 row pick (verified supported by Mosaic).
-        slabs = []
-        for j in range(_ROWS_PER_FRAME):
-            block = rows[j: j + _ROWS_PER_HOP * FRAME_BLOCK]   # (5*FB, 32) static
-            slabs.append(block.reshape(FRAME_BLOCK, _ROWS_PER_HOP, _G)[:, 0, :])
-        frames = jnp.concatenate(slabs, axis=1)                 # (FB, n_fft)
+        span = span_ref[:]  # (SPAN_ROWS, 128)
+        # class-c frame k (i = 4k + c) granule j = granule 20k + 5c + j
+        #   -> packed row 5k + (5c+j)//4, lane slab 32*((5c+j)%4)
+        class_frames = []
+        for c in range(_PACK):
+            slabs = []
+            for j in range(_GPF):
+                s = (5 * c + j) // _PACK
+                lane = _G * ((5 * c + j) % _PACK)
+                block = span[s: s + 5 * _CLS]                  # (160, 128) static
+                picked = block.reshape(_CLS, 5, 128)[:, 0, :]  # rows 5k + s
+                slabs.append(picked[:, lane: lane + _G])       # static lane slice
+            class_frames.append(jnp.concatenate(slabs, axis=1))  # (32, 512)
+        frames = jnp.concatenate(class_frames, axis=0)         # (128, 512) class-major
 
         f = frames * win_ref[:]
         re = jnp.dot(f, cos_ref[:], preferred_element_type=jnp.float32)
         im = jnp.dot(f, sin_ref[:], preferred_element_type=jnp.float32)
         power = re * re + im * im
-        out_ref[0] = jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32)
+        mel = jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32)
+        # de-interleave class-major rows (32c + k) back to frame order (4k + c)
+        mel = mel.reshape(_PACK, _CLS, N_MELS)
+        mel = jnp.swapaxes(mel, 0, 1).reshape(FRAME_BLOCK, N_MELS)
+        out_ref[0] = mel
 
     return _kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _mel_pallas_2d(audio_padded: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """audio_padded: (B, L_pad) reflect- and block-padded, L_pad % 32 == 0.
+    """audio_padded: (B, L_pad) reflect- and block-padded, L_pad % 128 == 0.
     Returns (B, grid_t * FRAME_BLOCK, n_mels)."""
     B, L = audio_padded.shape
     grid_t = (L - SPAN) // (FRAME_BLOCK * HOP_LENGTH) + 1
-    rows_per_sample = L // _G
-    audio_rows = audio_padded.reshape(B * rows_per_sample, _G)
+    rows_per_sample = L // 128
+    audio_rows = audio_padded.reshape(B * rows_per_sample, 128)
 
     window = jnp.asarray(_window_np(WIN_LENGTH, N_FFT))[None, :]  # (1, n_fft)
     cos_m, sin_m = _dft_matrices_np(N_FFT)
@@ -107,7 +123,7 @@ def _mel_pallas_2d(audio_padded: jnp.ndarray, interpret: bool = False) -> jnp.nd
         out_shape=jax.ShapeDtypeStruct((B, grid_t * FRAME_BLOCK, N_MELS),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((SPAN_ROWS, _G), jnp.float32),
+            pltpu.VMEM((SPAN_ROWS, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
@@ -134,12 +150,14 @@ def mel_spectrogram_pallas(audio: jnp.ndarray, sr: int = SAMPLE_RATE,
     x = audio.reshape((-1, L))
     T = L // hop_length + 1
 
-    # center=True reflect pad, then zero-pad so every grid block's span is in-bounds.
+    # center=True reflect pad, then zero-pad so every grid block's span is
+    # in-bounds and the length is 128-aligned for the packed-row view.
     pad = n_fft // 2
     x = jnp.pad(x, [(0, 0), (pad, pad)], mode="reflect")
     grid_t = -(-T // FRAME_BLOCK)
     need = (grid_t - 1) * FRAME_BLOCK * hop_length + SPAN
-    need = max(need, -(-x.shape[-1] // _G) * _G)  # also 32-align for the row view
+    need = max(need, x.shape[-1])
+    need = -(-need // 128) * 128
     if need > x.shape[-1]:
         x = jnp.pad(x, [(0, 0), (0, need - x.shape[-1])])
 

@@ -203,10 +203,35 @@ class Trainer:
         ckptr.wait_until_finished()
 
     @staticmethod
+    def resolve_checkpoint(path: str) -> str:
+        """Accept a checkpoint dir, an experiment dir, or a checkpoints/ dir and
+        return the newest checkpoint (latest (epoch, step) parsed from the name).
+        Convenience over the reference's exact-path-only --resume_from."""
+        path = os.path.abspath(path)
+        if os.path.basename(path).startswith("checkpoint_"):
+            return path
+        cand = path
+        if os.path.isdir(os.path.join(path, "checkpoints")):
+            cand = os.path.join(path, "checkpoints")
+        entries = [e for e in os.listdir(cand) if e.startswith("checkpoint_")]
+        if not entries:
+            return path  # let the loader produce its own error
+
+        def key(name: str):
+            try:
+                epoch = int(name.split("epoch-")[1].split("_")[0])
+                step = int(name.split("step-")[1])
+                return (epoch, step)
+            except (IndexError, ValueError):
+                return (-1, -1)
+
+        return os.path.join(cand, max(entries, key=key))
+
+    @staticmethod
     def load_checkpoint_tree(path: str) -> Dict[str, Any]:
         import orbax.checkpoint as ocp
 
-        path = os.path.abspath(path)
+        path = Trainer.resolve_checkpoint(path)
         assert os.path.exists(path), f"checkpoint not found: {path}"
         with ocp.PyTreeCheckpointer() as ckptr:
             return ckptr.restore(path)
@@ -226,6 +251,7 @@ class Trainer:
 
             if resume_from is not None:
                 assert os.path.exists(resume_from), f"not found: {resume_from}"
+                resume_from = self.resolve_checkpoint(resume_from)
                 if self.is_master_process():
                     print("Resuming from checkpoint: %s" % resume_from)
                 tree = self.load_checkpoint_tree(resume_from)

@@ -114,6 +114,33 @@ def vis_relative_pose_pair_clip(preds, gts, canvas_size):
                      for p, g in zip(preds, gts)])
 
 
+def vis_train_npz(npz_path, out_dir=None, max_frames=None):
+    """Offline inspector for a training clip npz: renders pose frames
+    (reference keypoint_visualization.py:116-145 shows them interactively with
+    cv2.imshow; this headless variant writes jpgs and returns the frame array)."""
+    items = np.load(npz_path, allow_pickle=True)
+    poses = items["pose"]  # (T, 3, 137)
+    frames = []
+    n = len(poses) if max_frames is None else min(max_frames, len(poses))
+    for i in range(n):
+        img = np.zeros((720, 1280, 3), dtype=np.uint8) + 240
+        draw_body_parts(img, poses[i].transpose(1, 0)[:, :2], size=2)
+        frames.append(img)
+        if out_dir is not None and _HAS_CV2:
+            cv2.imwrite(f"{out_dir}/frame_{i:06d}.jpg", img)
+    return np.array(frames)
+
+
+def vis_pose_npy(npy_path, out_path=None):
+    """Offline inspector for a single-frame pose npy (reference :162-171)."""
+    pose = np.load(npy_path)
+    img = np.zeros((720, 1280, 3), dtype=np.uint8)
+    draw_body_parts(img, pose.T[:, :2] if pose.shape[0] == 3 else pose[:, :2])
+    if out_path is not None and _HAS_CV2:
+        cv2.imwrite(out_path, img)
+    return img
+
+
 def draw_pose_frames_in_long_img(poses):
     """(T, K, 2) -> one long filmstrip image, every 8th frame
     (reference keypoint_visualization.py:96-110)."""
