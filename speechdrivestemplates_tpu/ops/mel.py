@@ -116,6 +116,9 @@ def mel_spectrogram(audio: jnp.ndarray,
     audio: (..., L) float32 -> (..., n_mels, T) float32 with T = L // hop_length + 1,
     matching torchaudio.transforms.MelSpectrogram with the reference's parameters.
     """
+    if impl == "auto":
+        # fused Pallas kernel on TPU; MXU DFT-matmul everywhere else
+        impl = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "dft"
     if impl == "pallas":
         from .mel_pallas import mel_spectrogram_pallas
 

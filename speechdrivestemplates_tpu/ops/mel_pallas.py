@@ -77,11 +77,15 @@ def _make_kernel(rows_per_sample: int):
             class_frames.append(jnp.concatenate(slabs, axis=1))  # (32, 512)
         frames = jnp.concatenate(class_frames, axis=0)         # (128, 512) class-major
 
+        # precision=HIGHEST: the MXU ingests bf16 by default; a power spectrum needs
+        # full fp32 inputs (3-pass passthrough), matching the XLA dft path.
+        hi = jax.lax.Precision.HIGHEST
         f = frames * win_ref[:]
-        re = jnp.dot(f, cos_ref[:], preferred_element_type=jnp.float32)
-        im = jnp.dot(f, sin_ref[:], preferred_element_type=jnp.float32)
+        re = jnp.dot(f, cos_ref[:], precision=hi, preferred_element_type=jnp.float32)
+        im = jnp.dot(f, sin_ref[:], precision=hi, preferred_element_type=jnp.float32)
         power = re * re + im * im
-        mel = jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32)
+        mel = jnp.dot(power, fb_ref[:], precision=hi,
+                      preferred_element_type=jnp.float32)
         # de-interleave class-major rows (32c + k) back to frame order (4k + c)
         mel = mel.reshape(_PACK, _CLS, N_MELS)
         mel = jnp.swapaxes(mel, 0, 1).reshape(FRAME_BLOCK, N_MELS)

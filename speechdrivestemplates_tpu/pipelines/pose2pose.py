@@ -209,11 +209,11 @@ class Pose2Pose(Trainer):
         return sub
 
     # -- Trainer hooks ------------------------------------------------------------------
-    def train_step(self, batch, t_step, global_step, epoch):
+    def train_step(self, batch, t_step, global_step, epoch, device_batch=None):
         tag = "TRAIN"
         step_fn = self._get_step("train")
-        self.state, losses, results = step_fn(self.state, self._device_batch(batch),
-                                              self._next_rng())
+        db = device_batch if device_batch is not None else self._device_batch(batch)
+        self.state, losses, results = step_fn(self.state, db, self._next_rng())
 
         if self.is_master_process():
             if t_step % self.cfg.SYS.LOG_INTERVAL == 0:

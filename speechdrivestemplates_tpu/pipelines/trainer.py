@@ -400,10 +400,12 @@ class Trainer:
             epoch_tic = time.time()
             self.step_tic = time.time()
             self.train_dataloader.set_epoch(epoch)
-            for t_step, batch in enumerate(self.train_dataloader):
+            for t_step, (batch, db) in enumerate(
+                    self._device_prefetch(self.train_dataloader)):
                 global_step += 1
                 self._maybe_profile(cfg, global_step)
-                self.train_step(batch, t_step + 1, global_step, epoch)
+                self.train_step(batch, t_step + 1, global_step, epoch,
+                                device_batch=db)
 
             if epoch % cfg.TRAIN.CHECKPOINT_INTERVAL == 0:
                 if self.get_rank() == 0:
@@ -423,6 +425,25 @@ class Trainer:
 
     def on_epoch_end(self, epoch: int) -> None:
         """LR schedules are step-indexed inside optax; nothing to tick by default."""
+
+    def _device_prefetch(self, loader):
+        """Yield (host_batch, device_batch) with the NEXT batch's host->device
+        transfer already enqueued while the current step computes.  jax transfers
+        are async, so starting the device_put one step early hides H2D latency
+        behind the compiled step (the torch-DataLoader pin_memory analog)."""
+        it = iter(loader)
+        prev = None
+        for batch in it:
+            db = self._device_batch(batch)
+            if prev is not None:
+                yield prev
+            prev = (batch, db)
+        if prev is not None:
+            yield prev
+
+    def _device_batch(self, batch):
+        """Pipelines override: select array keys and shard over the mesh."""
+        raise NotImplementedError
 
     def _maybe_profile(self, cfg, global_step: int) -> None:
         """jax.profiler trace over SYS.PROFILE.NUM_STEPS steps starting at

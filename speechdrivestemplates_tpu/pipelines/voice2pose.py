@@ -8,7 +8,7 @@ Task parity with the reference's ``core/pipelines/voice2pose.py``:
   losses   = L1 regression (LAMBDA_REG) + batch-statistics KL on the codes
              (LAMBDA_CLIP_KL, skipped while code variance is exactly 0, i.e. the first
              step after zero-init — reference voice2pose.py:147-157) + LSGAN
-             (LAMBDA_GAN) with optional motion-差 diff and keypoint WHITE_LIST.
+             (LAMBDA_GAN) with optional motion differencing and keypoint WHITE_LIST.
   metrics  = per-step denormalized L2 and normalized lip-sync error
              (voice2pose.py:412-430); per-epoch FGD over accumulated latents.
 
@@ -504,10 +504,10 @@ class Voice2Pose(Trainer):
         return sub
 
     # -- Trainer hooks ----------------------------------------------------------------
-    def train_step(self, batch, t_step, global_step, epoch):
+    def train_step(self, batch, t_step, global_step, epoch, device_batch=None):
         tag = "TRAIN"
         step_fn = self._get_train_step()
-        db = self._device_batch(batch)
+        db = device_batch if device_batch is not None else self._device_batch(batch)
         self.state, losses, results = step_fn(self.state, db, self._next_rng())
 
         if self.is_master_process():
