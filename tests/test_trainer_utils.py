@@ -1,0 +1,71 @@
+"""Unit tests for engine utilities: checkpoint path resolution and optax state
+restructuring after raw orbax restores."""
+
+import os
+
+import numpy as np
+import pytest
+
+from speechdrivestemplates_tpu.pipelines.trainer import Trainer, restructure_like
+
+
+def test_resolve_checkpoint_variants(tmp_path):
+    exp = tmp_path / "2026_exp-TRAIN-t"
+    ck = exp / "checkpoints"
+    ck.mkdir(parents=True)
+    for e, s in [(1, 10), (2, 20), (10, 100)]:
+        (ck / f"checkpoint_epoch-{e}_step-{s}").mkdir()
+
+    expect = str(ck / "checkpoint_epoch-10_step-100")
+    assert Trainer.resolve_checkpoint(str(exp)) == expect
+    assert Trainer.resolve_checkpoint(str(ck)) == expect
+    assert Trainer.resolve_checkpoint(expect) == expect
+
+
+def test_resolve_checkpoint_orders_numerically(tmp_path):
+    ck = tmp_path / "checkpoints"
+    ck.mkdir()
+    (ck / "checkpoint_epoch-9_step-90").mkdir()
+    (ck / "checkpoint_epoch-10_step-100").mkdir()  # lexically before epoch-9
+    assert Trainer.resolve_checkpoint(str(ck)).endswith("epoch-10_step-100")
+
+
+def test_restructure_like_optax_state():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    params = {"w": jnp.ones((3,)), "b": jnp.zeros((2,))}
+    opt = optax.chain(optax.scale_by_adam(), optax.scale_by_learning_rate(1e-3))
+    st = opt.init(params)
+
+    # simulate orbax raw restore: namedtuples -> dicts, tuples -> lists, arrays -> np
+    def degrade(x):
+        if hasattr(x, "_fields"):
+            return {f: degrade(getattr(x, f)) for f in x._fields}
+        if isinstance(x, tuple):
+            return [degrade(v) for v in x]
+        if isinstance(x, dict):
+            return {k: degrade(v) for k, v in x.items()}
+        return None if x is None else np.asarray(x)
+
+    raw = degrade(st)
+    rebuilt = restructure_like(st, raw)
+    assert jax.tree.structure(rebuilt) == jax.tree.structure(st)
+    chex_leaves = jax.tree.leaves(rebuilt)
+    orig_leaves = jax.tree.leaves(st)
+    for a, b in zip(chex_leaves, orig_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # an optimizer update must work on the rebuilt state
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, rebuilt, params)
+    assert jax.tree.structure(updates) == jax.tree.structure(params)
+
+
+def test_restructure_like_string_keyed_tuple():
+    tpl = (np.zeros(2), {"a": np.ones(3)})
+    raw = {"0": np.arange(2), "1": {"a": np.arange(3)}}
+    out = restructure_like(tpl, raw)
+    assert isinstance(out, tuple)
+    np.testing.assert_array_equal(np.asarray(out[0]), [0, 1])
