@@ -25,6 +25,10 @@ def setup_config():
                         help="path to config file")
     parser.add_argument("--resume_from", type=str, default=None,
                         help="the checkpoint to resume from")
+    parser.add_argument("--pretrain_from", type=str, default=None,
+                        help="checkpoint to initialize the model from (fresh "
+                             "experiment dir; reference README documents this flag "
+                             "— equivalent to TRAIN.PRETRAIN_FROM)")
     parser.add_argument("--test_only", action="store_true",
                         help="perform testing and evaluation only")
     parser.add_argument("--demo_input", type=str, default=None,
@@ -44,6 +48,8 @@ def setup_config():
     cfg = get_cfg_defaults()
     cfg.merge_from_file(args.config_file)
     cfg.merge_from_list(args.opts)
+    if args.pretrain_from is not None:
+        cfg.TRAIN.PRETRAIN_FROM = args.pretrain_from
     cfg.freeze()
     return args, cfg
 
