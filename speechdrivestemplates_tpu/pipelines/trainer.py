@@ -408,8 +408,9 @@ class Trainer:
                                 device_batch=db)
 
             if epoch % cfg.TRAIN.CHECKPOINT_INTERVAL == 0:
-                if self.get_rank() == 0:
-                    self.save_checkpoint(epoch, global_step)
+                # orbax saves are process-collective (unlike torch.save, which the
+                # reference gates on rank 0 — trainer.py:389-391): every host calls in.
+                self.save_checkpoint(epoch, global_step)
                 if cfg.TRAIN.VALIDATE:
                     self.validate(self.test_dataloader, epoch)
 
