@@ -48,6 +48,21 @@ SPAN_ROWS = 168            # covers row (5*3+15)//4 + 160 = 167; 8-aligned
 SPAN = SPAN_ROWS * 128     # samples covered per program (>= frame reach 20832)
 
 
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """fp32-accurate matmul from three bf16 MXU passes (a_hi@b_hi + a_hi@b_lo +
+    a_lo@b_hi), fp32 accumulation."""
+    a_hi, a_lo = _split_bf16(a)
+    b_hi, b_lo = _split_bf16(b)
+    dot = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)  # noqa: E731
+    return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+
+
 def _make_kernel(rows_per_sample: int):
     def _kernel(audio_ref, win_ref, cos_ref, sin_ref, fb_ref,
                 out_ref, span_ref, sem):
@@ -77,15 +92,16 @@ def _make_kernel(rows_per_sample: int):
             class_frames.append(jnp.concatenate(slabs, axis=1))  # (32, 512)
         frames = jnp.concatenate(class_frames, axis=0)         # (128, 512) class-major
 
-        # precision=HIGHEST: the MXU ingests bf16 by default; a power spectrum needs
-        # full fp32 inputs (3-pass passthrough), matching the XLA dft path.
-        hi = jax.lax.Precision.HIGHEST
+        # Manual bf16x3 matmuls: the MXU ingests bf16 (3% relative error on a power
+        # spectrum with the default single pass), Mosaic rejects Precision.HIGH, and
+        # Precision.HIGHEST's 6-pass expansion explodes compile time.  Splitting each
+        # operand into hi+lo bf16 halves and summing three native bf16 dots recovers
+        # ~2^-16 relative accuracy at 3x the single-pass MXU cost.
         f = frames * win_ref[:]
-        re = jnp.dot(f, cos_ref[:], precision=hi, preferred_element_type=jnp.float32)
-        im = jnp.dot(f, sin_ref[:], precision=hi, preferred_element_type=jnp.float32)
+        re = _dot3(f, cos_ref[:])
+        im = _dot3(f, sin_ref[:])
         power = re * re + im * im
-        mel = jnp.dot(power, fb_ref[:], precision=hi,
-                      preferred_element_type=jnp.float32)
+        mel = _dot3(power, fb_ref[:])
         # de-interleave class-major rows (32c + k) back to frame order (4k + c)
         mel = mel.reshape(_PACK, _CLS, N_MELS)
         mel = jnp.swapaxes(mel, 0, 1).reshape(FRAME_BLOCK, N_MELS)
