@@ -36,20 +36,33 @@ def bench_inference(batch: int = 32, iters: int = 40, warmup: int = 5):
         for _ in range(n_bufs)]
     jfn = jax.jit(fn)
 
+    def sync(x):
+        # A tiny scalar FETCH, not just block_until_ready: through remote-device
+        # tunnels block_until_ready can return at dispatch-ack, wildly inflating
+        # rates.  Device execution is in-order, so fetching one element of the
+        # last output proves every queued call finished.
+        return float(np.asarray(x[0, 0, 0, 0]))
+
     out = jfn(variables, audios[0], codes[0])
-    out.block_until_ready()
+    sync(out)
     for i in range(warmup):
-        jfn(variables, audios[i % n_bufs], codes[i % n_bufs]).block_until_ready()
-
-    tic = time.perf_counter()
-    for i in range(iters):
         out = jfn(variables, audios[i % n_bufs], codes[i % n_bufs])
-    out.block_until_ready()
-    toc = time.perf_counter() - tic
+    sync(out)
 
+    def timed(n):
+        tic = time.perf_counter()
+        o = out
+        for i in range(n):
+            o = jfn(variables, audios[i % n_bufs], codes[i % n_bufs])
+        sync(o)
+        return time.perf_counter() - tic
+
+    # two run lengths; the slope cancels the fixed fetch/tunnel round-trip cost
+    n1, n2 = iters, iters * 4
+    t1, t2 = timed(n1), timed(n2)
+    per_call = (t2 - t1) / (n2 - n1)
     num_frames = out.shape[1]
-    frames_per_sec = batch * num_frames * iters / toc
-    return frames_per_sec, toc / iters
+    return batch * num_frames / per_call, per_call
 
 
 def bench_train_step(batch: int = 32, iters: int = 10, warmup: int = 2):
@@ -84,13 +97,19 @@ def bench_train_step(batch: int = 32, iters: int = 10, warmup: int = 2):
         state = pipe.state
         for i in range(warmup):
             state, losses, _ = step_fn(state, dbs[i % len(dbs)], rngs[i % 4])
-        jax.block_until_ready(losses)
-        tic = time.perf_counter()
-        for i in range(iters):
-            state, losses, _ = step_fn(state, dbs[i % len(dbs)], rngs[i % 4])
-        jax.block_until_ready(losses)
-        toc = time.perf_counter() - tic
-        return iters / toc
+        float(np.asarray(losses["G_loss"]))  # true completion fence (see sync above)
+
+        def timed(n, state):
+            tic = time.perf_counter()
+            for i in range(n):
+                state, losses, _ = step_fn(state, dbs[i % len(dbs)], rngs[i % 4])
+            float(np.asarray(losses["G_loss"]))
+            return time.perf_counter() - tic, state
+
+        n1, n2 = iters, iters * 4
+        t1, state = timed(n1, state)
+        t2, state = timed(n2, state)
+        return (n2 - n1) / (t2 - t1)
 
 
 def main():

@@ -1,0 +1,60 @@
+"""CLI smoke test: the real ``python main.py`` surface (reference README workflows),
+train -> test -> demo through subprocesses on the synthetic fixture."""
+
+import glob
+import os
+import subprocess
+import sys
+
+import pytest
+
+from speechdrivestemplates_tpu.datasets.synthetic import (make_demo_wav,
+                                                          make_synthetic_speaker)
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""  # drop the TPU-registering sitecustomize
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    return env
+
+
+def _run(args):
+    return subprocess.run([sys.executable, "main.py"] + args, cwd=REPO, env=_env(),
+                          capture_output=True, text=True, timeout=1200)
+
+
+@pytest.mark.slow
+def test_cli_train_test_demo(tmp_path):
+    root = str(tmp_path / "speakers")
+    make_synthetic_speaker(root, "oliver", num_train=4, num_dev=2)
+    out = str(tmp_path / "out")
+    wav = make_demo_wav(str(tmp_path / "demo.wav"))
+
+    common = [
+        "DATASET.ROOT_DIR", root, "DATASET.SPEAKER", "oliver",
+        "TRAIN.NUM_EPOCHS", "1", "TRAIN.BATCH_SIZE", "2", "TEST.BATCH_SIZE", "2",
+        "TRAIN.SAVE_VIDEO", "False", "TEST.SAVE_VIDEO", "False",
+        "TRAIN.VALIDATE", "False", "SYS.OUTPUT_DIR", out, "SYS.MESH.DATA", "1",
+        "SYS.NUM_WORKERS", "0",
+    ]
+
+    r = _run(["--config_file", "configs/voice2pose_sdt_bp.yaml", "--tag", "cli"]
+             + common)
+    assert r.returncode == 0, r.stderr[-2000:]
+    ckpts = glob.glob(os.path.join(out, "*TRAIN*", "checkpoints", "checkpoint_*"))
+    assert ckpts, r.stdout[-2000:]
+
+    r = _run(["--config_file", "configs/voice2pose_sdt_bp.yaml", "--tag", "cli",
+              "--test_only", "--checkpoint", ckpts[0]] + common)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = _run(["--config_file", "configs/voice2pose_sdt_bp.yaml", "--tag", "cli",
+              "--demo_input", wav, "--checkpoint", ckpts[0]] + common
+             + ["SYS.VIDEO_FORMAT", "['img']"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    demo_npz = glob.glob(os.path.join(out, "*DEMO*", "results", "*.npz"))
+    assert demo_npz
