@@ -22,7 +22,6 @@ D grad consumes it as a constant (= ``.detach()``).
 
 from __future__ import annotations
 
-import functools
 import logging
 import os
 import time
