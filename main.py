@@ -55,6 +55,11 @@ def setup_config():
 
 
 def run(args, cfg):
+    if cfg.SYS.DEBUG_NANS:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
     pipeline = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
 
     cfg_name = args.config_file.split("/")[-1].split(".")[0]

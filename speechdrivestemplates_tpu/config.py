@@ -339,6 +339,7 @@ def _build_defaults() -> CfgNode:
     _C.SYS.PROFILE.START_STEP = 10   # global step to start the jax.profiler trace
     _C.SYS.PROFILE.NUM_STEPS = 5     # trace duration in steps
     _C.SYS.PROFILE.OUT_DIR = None    # default: <exp>/profile
+    _C.SYS.DEBUG_NANS = False        # jax_debug_nans: fail fast on non-finite values
 
     return _C
 
