@@ -11,8 +11,24 @@ Also prints auxiliary lines (train step rate) to stderr for humans.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: first-compile of the full train step can
+    take minutes on remote-compile setups; cache it across runs."""
+    try:
+        import jax
+
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                   os.path.expanduser("~/.cache/sdt_jax"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def bench_inference(batch: int = 32, iters: int = 40, warmup: int = 5):
@@ -113,6 +129,7 @@ def bench_train_step(batch: int = 32, iters: int = 10, warmup: int = 2):
 
 
 def main():
+    _enable_compile_cache()
     frames_per_sec, step_time = bench_inference()
     print(f"[bench] inference: {frames_per_sec:.1f} pose-frames/s/chip "
           f"({step_time*1e3:.2f} ms / batch-32 fwd)", file=sys.stderr)

@@ -92,6 +92,44 @@ def test_generator_forward_parity(ref_networks, rng):
 
 
 @pytest.mark.slow
+def test_generator_bn_forward_parity(ref_networks, rng):
+    """s2g configuration: NORM='BN' exercises BatchNorm eval semantics
+    (running stats + affine) end to end."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from speechdrivestemplates_tpu.models import build_model
+    from speechdrivestemplates_tpu.utils.torch_import import _to_mutable
+
+    TorchGen, _, _ = ref_networks
+    cfg = _cfg(norm="BN", code_dim=None)
+
+    torch.manual_seed(1)
+    tgen = TorchGen(cfg)
+    # randomize running stats so eval-mode BN is a real test, not 0/1 defaults
+    with torch.no_grad():
+        for m in tgen.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+    tgen.eval()
+
+    ours = build_model("SequenceGeneratorCNN", cfg)
+    mel = rng.randn(2, 80, 427).astype(np.float32)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(mel), 64, None, True)
+    params = _to_mutable(variables["params"])
+    stats = _to_mutable(variables.get("batch_stats", {}))
+    _import_from_torch_module(tgen, params, stats)
+    v2 = {"params": params, "batch_stats": stats}
+
+    with torch.no_grad():
+        theirs = tgen(torch.from_numpy(mel), 64, None).numpy()
+    ours_out = np.asarray(ours.apply(v2, jnp.asarray(mel), 64, None, False))
+    np.testing.assert_allclose(ours_out, theirs, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
 def test_discriminator_forward_parity(ref_networks, rng):
     import jax
     import jax.numpy as jnp
