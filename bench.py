@@ -128,24 +128,44 @@ def bench_train_step(batch: int = 32, iters: int = 10, warmup: int = 2):
         return (n2 - n1) / (t2 - t1)
 
 
-def main():
-    _enable_compile_cache()
-    frames_per_sec, step_time = bench_inference()
-    print(f"[bench] inference: {frames_per_sec:.1f} pose-frames/s/chip "
-          f"({step_time*1e3:.2f} ms / batch-32 fwd)", file=sys.stderr)
-    try:
-        train_sps = bench_train_step()
-        print(f"[bench] train: {train_sps:.2f} steps/s (batch 32, SDT-BP)",
-              file=sys.stderr)
-    except Exception as e:  # pragma: no cover
-        print(f"[bench] train-step bench failed: {e}", file=sys.stderr)
-
+def _emit(frames_per_sec: float):
     print(json.dumps({
         "metric": "pose_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 1),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_sec / 1000.0, 3),
-    }))
+    }), flush=True)
+
+
+def main():
+    _enable_compile_cache()
+    frames_per_sec, step_time = bench_inference()
+    print(f"[bench] inference: {frames_per_sec:.1f} pose-frames/s/chip "
+          f"({step_time*1e3:.2f} ms / batch-32 fwd)", file=sys.stderr, flush=True)
+
+    # The primary metric is secured; guard the auxiliary train-step bench with a
+    # watchdog so a wedged remote compile can never swallow the JSON line.
+    import threading
+
+    def bail():
+        print("[bench] train-step bench timed out; emitting primary metric",
+              file=sys.stderr, flush=True)
+        _emit(frames_per_sec)
+        os._exit(0)
+
+    watchdog = threading.Timer(900.0, bail)
+    watchdog.daemon = True
+    watchdog.start()
+    try:
+        train_sps = bench_train_step()
+        print(f"[bench] train: {train_sps:.2f} steps/s (batch 32, SDT-BP)",
+              file=sys.stderr, flush=True)
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] train-step bench failed: {e}", file=sys.stderr, flush=True)
+    finally:
+        watchdog.cancel()
+
+    _emit(frames_per_sec)
 
 
 if __name__ == "__main__":
