@@ -1,0 +1,81 @@
+"""Small odds and ends: mel impl dispatch, TPU-era config keys, audio helpers."""
+
+import numpy as np
+import pytest
+
+
+def test_mel_auto_dispatch_cpu(rng):
+    """'auto' must resolve to the dft path on CPU (pallas needs a TPU)."""
+    import jax.numpy as jnp
+
+    from speechdrivestemplates_tpu.ops.mel import mel_spectrogram
+
+    audio = rng.randn(1, 8000).astype(np.float32)
+    a = np.asarray(mel_spectrogram(jnp.asarray(audio), impl="auto"))
+    b = np.asarray(mel_spectrogram(jnp.asarray(audio), impl="dft"))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_tpu_config_keys():
+    from speechdrivestemplates_tpu.config import get_cfg_defaults
+
+    cfg = get_cfg_defaults()
+    assert cfg.SYS.MESH.DATA == -1
+    assert cfg.SYS.MEL_IMPL == "auto"
+    assert cfg.SYS.PROFILE.ENABLED is False
+    assert cfg.TRAIN.PRECISION == "fp32"
+    assert cfg.SYS.DEBUG_NANS is False
+    # overridable from the CLI like any yacs key
+    cfg.merge_from_list(["SYS.MEL_IMPL", "pallas", "TRAIN.PRECISION", "bf16"])
+    assert cfg.SYS.MEL_IMPL == "pallas"
+
+
+def test_parse_audio_length_table():
+    from speechdrivestemplates_tpu.utils.audio import parse_audio_length
+
+    # reference-documented values (float division quirks included: 16000/1066.6*
+    # floors to 14 frames, exactly as the reference computes)
+    assert parse_audio_length(68267, 16000, 15) == (68266, 64)
+    assert parse_audio_length(16000, 16000, 15) == (14933, 14)
+    # short audio still snaps down
+    assert parse_audio_length(1100, 16000, 15) == (1066, 1)
+
+
+def test_crop_pad_audio(rng):
+    from speechdrivestemplates_tpu.utils.audio import crop_pad_audio
+
+    w = rng.randn(100).astype(np.float32)
+    assert crop_pad_audio(w, 50).shape == (50,)
+    out = crop_pad_audio(w, 150)
+    assert out.shape == (150,)
+    assert (out[100:] == 0).all()
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    from scipy.io import wavfile
+
+    from speechdrivestemplates_tpu.utils.audio import load_wav
+
+    sig = (rng.randn(16000) * 0.1).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    wavfile.write(p, 16000, (sig * 32767).astype(np.int16))
+    out = load_wav(p, 16000)
+    np.testing.assert_allclose(out, sig, atol=1e-3)
+
+    # stereo + resample path
+    stereo = np.stack([sig, sig], 1)
+    p2 = str(tmp_path / "t2.wav")
+    wavfile.write(p2, 32000, (stereo * 32767).astype(np.int16))
+    out2 = load_wav(p2, 16000)
+    assert out2.ndim == 1 and abs(len(out2) - 8000) < 10
+
+
+def test_fgd_sanity(rng):
+    from speechdrivestemplates_tpu.ops.fgd import compute_fgd
+
+    a = rng.randn(200, 16)
+    b = rng.randn(200, 16) + 3.0
+    same = compute_fgd(a, a.copy())
+    far = compute_fgd(a, b)
+    assert same < 1e-6
+    assert far > 100  # ~16 * 9
