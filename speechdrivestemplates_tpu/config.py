@@ -312,6 +312,11 @@ def _build_defaults() -> CfgNode:
     _C.DEMO.CODE_INDEX = None
     _C.DEMO.CODE_INDEX_B = None
     _C.DEMO.CODE_PATH = None
+    # --- TPU-native long-form demo (no reference counterpart; the reference caps
+    # demo audio at MAX_DEMO_LENGTH and compiles one dynamic forward) ---
+    _C.DEMO.WINDOWED = False      # slice long audio into fixed windows
+    _C.DEMO.WINDOW_FRAMES = 64    # frames per window (matches the train shape)
+    _C.DEMO.HALO_FRAMES = 16      # overlap cropped/cross-faded per side
 
     _C.SYS = CfgNode()
     _C.SYS.OUTPUT_DIR = "output/"

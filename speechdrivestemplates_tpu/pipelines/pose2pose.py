@@ -62,7 +62,8 @@ class Pose2Pose(Trainer):
 
     def setup_optimizer(self, checkpoint=None, last_epoch: int = -1):
         cfg = self.cfg
-        spe = self.num_train_batches if self.num_train_samples else 0
+        spe = (getattr(self, "num_train_batches", 0)
+               if getattr(self, "num_train_samples", None) else 0)
         sched = _multistep_lr(cfg.TRAIN.LR, cfg.TRAIN.NUM_EPOCHS, spe,
                               cfg.TRAIN.LR_SCHEDULER)
         self._lr_fns = {"optimizer": sched if callable(sched)

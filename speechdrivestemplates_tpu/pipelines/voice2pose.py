@@ -166,7 +166,8 @@ class Voice2Pose(Trainer):
     # -- optimizers ----------------------------------------------------------------
     def setup_optimizer(self, checkpoint=None, last_epoch: int = -1):
         cfg = self.cfg
-        spe = self.num_train_batches if self.num_train_samples else 0
+        spe = (getattr(self, "num_train_batches", 0)
+               if getattr(self, "num_train_samples", None) else 0)
         self._lr_fns = {}
 
         def make(label, base_lr):
@@ -441,10 +442,11 @@ class Voice2Pose(Trainer):
     def _build_eval_step(self, num_frames: int, t_mel: int):
         mel_impl = self.cfg.SYS.MEL_IMPL
 
-        def step(state, batch, rng, interpolation_coeff):
+        def step(state, batch, rng, interpolation_coeff, fixed_code=None):
             mel = mel_spectrogram(batch["audio"], impl=mel_impl)
-            code = self._condition_code(state, batch, False, rng,
-                                        interpolation_coeff)
+            code = (fixed_code if fixed_code is not None
+                    else self._condition_code(state, batch, False, rng,
+                                              interpolation_coeff))
             pred, _ = self._apply_generator(
                 state["params_g"], state["batch_stats_g"], mel, num_frames, code,
                 False)
@@ -548,12 +550,17 @@ class Voice2Pose(Trainer):
                   interpolation_coeff=None):
         tag = "DEMO"
         num_frames = int(np.asarray(batch["num_frames"])[0])
-        t_mel = batch["audio"].shape[-1] // 160 + 1
-        step_fn = self._get_eval_step(num_frames, t_mel)
-        db = self._device_batch(batch)
-        coeff = (None if interpolation_coeff is None
-                 else jnp.float32(interpolation_coeff))
-        _, results = step_fn(self.state, db, self._next_rng(), coeff)
+        if (self.cfg.DEMO.WINDOWED
+                and num_frames > self.cfg.DEMO.WINDOW_FRAMES):
+            results = self._windowed_demo_forward(batch, num_frames,
+                                                  interpolation_coeff)
+        else:
+            t_mel = batch["audio"].shape[-1] // 160 + 1
+            step_fn = self._get_eval_step(num_frames, t_mel)
+            db = self._device_batch(batch)
+            coeff = (None if interpolation_coeff is None
+                     else jnp.float32(interpolation_coeff))
+            _, results = step_fn(self.state, db, self._next_rng(), coeff)
 
         if self.is_master_process():
             np_results = {k: np.asarray(v) for k, v in results.items()
@@ -569,6 +576,57 @@ class Voice2Pose(Trainer):
                     self.cfg, tag, vid, t_step, epoch, long_img=long_img,
                     audio=np.asarray(batch["audio"][0]), writer=self.tb_writer,
                     base_path=self.base_path, extra_id=extra_id)
+
+    def _windowed_demo_forward(self, batch, num_frames: int, interpolation_coeff):
+        """Long-form demo: slice audio into fixed train-shaped windows, run them as
+        extra batch entries (so they shard over the data mesh like any batch), and
+        crossfade-stitch the predictions (ops/longform.py).  One compiled graph
+        serves every audio length — the TPU answer to the reference's dynamic
+        F.interpolate forward and 24 s cap."""
+        from ..ops.longform import stitch_windows, window_audio
+
+        cfg_d = self.cfg.DEMO
+        audio = np.asarray(batch["audio"][0])
+        windows, plan = window_audio(audio, num_frames, cfg_d.WINDOW_FRAMES,
+                                     cfg_d.HALO_FRAMES)
+        n_real = len(windows)
+        pad = (-n_real) % self.mesh.size
+        if pad:
+            windows = np.concatenate([windows, np.repeat(windows[-1:], pad, 0)])
+        nw = len(windows)
+
+        stat = batch["speaker_stat"]
+        wbatch = {
+            "audio": windows,
+            "clip_index": np.zeros((nw,), np.int32),
+            "speaker_stat": {k: np.repeat(np.asarray(v)[:1], nw, 0)
+                             for k, v in stat.items()},
+        }
+
+        # one style code for the whole clip (per-window sampling would flicker)
+        fixed_code = None
+        if self.has_code:
+            bank = self.state["clips_code"]
+            if cfg_d.CODE_INDEX is not None:
+                code = bank[cfg_d.CODE_INDEX]
+                if interpolation_coeff is not None and cfg_d.CODE_INDEX_B is not None:
+                    code = (code * (1 - interpolation_coeff)
+                            + bank[cfg_d.CODE_INDEX_B] * interpolation_coeff)
+            else:
+                idx = jax.random.randint(self._next_rng(), (), 0, bank.shape[0])
+                code = bank[idx]
+            fixed_code = jnp.broadcast_to(code[None], (nw,) + bank.shape[1:])
+
+        t_mel = windows.shape[-1] // 160 + 1
+        step_fn = self._get_eval_step(cfg_d.WINDOW_FRAMES, t_mel)
+        _, results = step_fn(self.state, self._device_batch(wbatch),
+                             self._next_rng(), None, fixed_code)
+
+        pred = np.asarray(results["poses_pred_batch"])[:n_real]
+        stitched = stitch_windows(pred, plan, num_frames, cfg_d.HALO_FRAMES)
+        return {"poses_pred_batch": stitched[None],
+                "condition_code": (None if fixed_code is None
+                                   else np.asarray(fixed_code[:1]))}
 
     # -- epoch metrics / figures -------------------------------------------------------
     def evaluate_epoch(self, results_dict):
