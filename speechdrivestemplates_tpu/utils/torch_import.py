@@ -1,8 +1,7 @@
 """Import reference PyTorch checkpoints (.pth) into our Flax parameter trees.
 
 Used for numerical-parity validation against the reference implementation
-(SURVEY.md §4/§7: "PyTorch checkpoint interop for parity testing") and for users
-migrating trained reference checkpoints.
+(SURVEY.md §4/§7) and for users migrating trained reference checkpoints.
 
 Mechanics:
   - reference keys carry DataParallel's ``module.`` prefix — stripped
@@ -10,16 +9,18 @@ Mechanics:
   - conv weights transpose OIW -> WIO (1d) / OIHW -> HWIO (2d) for channels-last;
   - BatchNorm {weight, bias} -> params {scale, bias}; {running_mean, running_var}
     -> batch_stats {mean, var};
-  - pairing is ORDER-BASED: torch state-dict key order is module registration order,
-    which matches our modules' call/creation order by construction (both follow the
-    reference architecture layer-for-layer).
+  - pairing is NAME-BASED via explicit per-architecture translators (order-based
+    pairing is unsafe: jax.tree operations canonicalize dict keys to sorted order,
+    which scrambles any insertion-order assumption).
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import numpy as np
+
+Path = Tuple[str, ...]
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
@@ -31,15 +32,6 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     return {k.replace("module.", ""): v.detach().numpy() for k, v in sd.items()}
 
 
-def _ordered_convs(sd: Dict[str, np.ndarray], prefix: str) -> List[Tuple[str, np.ndarray]]:
-    """Conv weight entries (ndim >= 3) under ``prefix`` in state-dict order."""
-    out = []
-    for k, v in sd.items():
-        if k.startswith(prefix) and k.endswith("weight") and np.ndim(v) >= 3:
-            out.append((k, v))
-    return out
-
-
 def _conv_to_flax(w: np.ndarray) -> np.ndarray:
     if w.ndim == 3:  # (O, I, W) -> (W, I, O)
         return np.transpose(w, (2, 1, 0))
@@ -48,58 +40,118 @@ def _conv_to_flax(w: np.ndarray) -> np.ndarray:
     raise ValueError(f"unexpected conv weight ndim {w.ndim}")
 
 
-def _walk_conv_dicts(tree: Dict[str, Any], path=()):
-    """Yield (path, subdict) for every subdict holding a conv 'kernel', in
-    insertion order (== call order for our modules)."""
-    if "kernel" in tree and not isinstance(tree["kernel"], dict):
-        yield path, tree
-        return
-    for k, v in tree.items():
-        if isinstance(v, dict):
-            yield from _walk_conv_dicts(v, path + (k,))
+# ---------------------------------------------------------------------------
+# torch-module-path -> flax-param-path translators, one per architecture.
+# Each takes the torch key split at the conv/norm parent (e.g.
+# 'unet.e0') and returns our parent path (e.g. ('unet', 'e0')), or None if the
+# entry belongs elsewhere.
+# ---------------------------------------------------------------------------
+
+def translate_generator(parent: str) -> Optional[Path]:
+    """SequenceGeneratorCNN (reference generator.py:87-117 -> models/generator.py)."""
+    parts = parent.split(".")
+    if parts[0] == "audio_encoder" and parts[1] == "specgram_encoder_2d":
+        blk, sub = int(parts[2]), int(parts[3])
+        return ("audio_encoder", f"ConvNormRelu_{2 * blk + sub}")
+    if parts[0] == "unet":
+        return ("unet", parts[1])  # e0..e6, d5..d1 share names
+    if parts[0] == "decoder":
+        idx = int(parts[1])
+        return (f"decoder_{idx}",) if idx < 4 else ("decoder_out",)
+    return None
 
 
-def _set_in(tree: Dict[str, Any], path: Tuple[str, ...], key: str, value):
+def translate_discriminator(parent: str) -> Optional[Path]:
+    """PoseSequenceDiscriminator (reference discriminator.py:6-23)."""
+    parts = parent.split(".")
+    if parts[0] == "seq":
+        idx = int(parts[1])
+        return (f"ConvNormRelu_{idx}",) if idx < 3 else ("Conv_0",)
+    return None
+
+
+def translate_pose_encoder(parent: str) -> Optional[Path]:
+    """Standalone PoseSeqEncoder (reference autoencoder.py:8-35)."""
+    parts = parent.split(".")
+    if parts[0] == "blocks":
+        return (f"ConvNormRelu_{int(parts[1])}",)
+    return None
+
+
+def translate_autoencoder(parent: str) -> Optional[Path]:
+    """Autoencoder (reference autoencoder.py:71-93)."""
+    parts = parent.split(".")
+    if parts[0] == "encoder":
+        sub = translate_pose_encoder(".".join(parts[1:]))
+        return ("encoder",) + sub if sub else None
+    if parts[0] == "decoder":
+        if parts[1] in ("d5", "d4", "d3", "d2", "d1"):
+            return ("decoder", parts[1])
+        if parts[1] == "blocks":
+            idx = int(parts[2])
+            return ("decoder", f"block_{idx}") if idx < 4 else ("decoder", "out")
+    return None
+
+
+def _get_node(tree: Dict[str, Any], path: Path, create: bool = False):
     node = tree
     for p in path:
-        node = node[p]
-    node[key] = value
+        if create:
+            node = node.setdefault(p, {})
+        else:
+            node = node[p]
+    return node
 
 
 def import_module_params(sd: Dict[str, np.ndarray], torch_prefix: str,
                          params: Dict[str, Any],
-                         batch_stats: Dict[str, Any] | None):
-    """Fill ``params``/``batch_stats`` (plain mutable dicts) from the torch
-    state dict entries under ``torch_prefix``, pairing convs in order."""
+                         batch_stats: Optional[Dict[str, Any]],
+                         translate: Callable[[str], Optional[Path]]):
+    """Fill ``params``/``batch_stats`` (plain mutable dicts) from the torch state
+    dict entries under ``torch_prefix``, using the architecture translator."""
     import jax.numpy as jnp
 
-    convs = _ordered_convs(sd, torch_prefix)
-    ours = list(_walk_conv_dicts(params))
-    assert len(convs) == len(ours), (
-        f"conv count mismatch under {torch_prefix!r}: torch {len(convs)} vs "
-        f"flax {len(ours)} ({[k for k, _ in convs]} vs {[p for p, _ in ours]})")
+    filled = 0
+    for key, value in sd.items():
+        if not key.startswith(torch_prefix):
+            continue
+        rel = key[len(torch_prefix):]
+        if not rel.endswith(("weight", "bias", "running_mean", "running_var")):
+            continue
+        parent_key, leaf = rel.rsplit(".", 1)
 
-    for (tkey, tw), (path, node) in zip(convs, ours):
-        node["kernel"] = jnp.asarray(_conv_to_flax(tw))
-        base = tkey[: -len("weight")]
-        if base + "bias" in sd:
-            node["bias"] = jnp.asarray(sd[base + "bias"])
-        # sibling norm (ConvNormRelu BN): '<parent>.conv.weight' -> '<parent>.norm.*'
-        if base.endswith("conv."):
-            nbase = base[: -len("conv.")] + "norm."
-            if nbase + "weight" in sd:  # BN (IN has no params upstream)
-                parent = params
-                for p in path[:-1]:
-                    parent = parent[p]
-                parent["norm"] = {"scale": jnp.asarray(sd[nbase + "weight"]),
-                                  "bias": jnp.asarray(sd[nbase + "bias"])}
-                if batch_stats is not None and nbase + "running_mean" in sd:
-                    bs_parent = batch_stats
-                    for p in path[:-1]:
-                        bs_parent = bs_parent.setdefault(p, {})
-                    bs_parent["norm"] = {
-                        "mean": jnp.asarray(sd[nbase + "running_mean"]),
-                        "var": jnp.asarray(sd[nbase + "running_var"])}
+        if parent_key.endswith(".conv"):
+            path = translate(parent_key[: -len(".conv")])
+            if path is None:
+                continue
+            node = _get_node(params, path + ("conv",))
+            assert leaf == "weight"
+            node["kernel"] = jnp.asarray(_conv_to_flax(value))
+            filled += 1
+        elif parent_key.endswith(".norm"):
+            path = translate(parent_key[: -len(".norm")])
+            if path is None:
+                continue
+            if leaf in ("weight", "bias"):
+                node = _get_node(params, path + ("norm",), create=True)
+                node["scale" if leaf == "weight" else "bias"] = jnp.asarray(value)
+            elif batch_stats is not None:
+                node = _get_node(batch_stats, path + ("norm",), create=True)
+                node["mean" if leaf == "running_mean" else "var"] = jnp.asarray(value)
+            filled += 1
+        elif (leaf == "weight" and np.ndim(value) >= 3) or leaf == "bias":
+            # plain final convs (no .conv. wrapper): decoder.4 / seq.3 / blocks.4
+            path = translate(parent_key)
+            if path is None:
+                continue
+            node = _get_node(params, path)
+            if leaf == "weight":
+                node["kernel"] = jnp.asarray(_conv_to_flax(value))
+            else:
+                node["bias"] = jnp.asarray(value)
+            filled += 1
+    assert filled > 0, f"no entries imported for prefix {torch_prefix!r}"
+    return filled
 
 
 def _to_mutable(tree) -> Dict[str, Any]:
@@ -120,22 +172,24 @@ def import_voice2pose(pth_path: str, state: Dict[str, Any]) -> Dict[str, Any]:
 
     params_g = _to_mutable(state["params_g"])
     bs_g = _to_mutable(state.get("batch_stats_g", {}))
-    import_module_params(sd, "netG.", params_g, bs_g)
+    import_module_params(sd, "netG.", params_g, bs_g, translate_generator)
     out["params_g"], out["batch_stats_g"] = params_g, bs_g
 
     if "clips_code" in state and "clips_code" in sd:
         out["clips_code"] = jnp.asarray(sd["clips_code"])
 
-    if "params_d" in state:
+    if "params_d" in state and any(k.startswith("netD_pose.") for k in sd):
         params_d = _to_mutable(state["params_d"])
         bs_d = _to_mutable(state.get("batch_stats_d", {}))
-        import_module_params(sd, "netD_pose.", params_d, bs_d)
+        import_module_params(sd, "netD_pose.", params_d, bs_d,
+                             translate_discriminator)
         out["params_d"], out["batch_stats_d"] = params_d, bs_d
 
     if "params_pe" in state and any(k.startswith("pose_encoder.") for k in sd):
         params_pe = _to_mutable(state["params_pe"])
         bs_pe = _to_mutable(state.get("batch_stats_pe", {}))
-        import_module_params(sd, "pose_encoder.", params_pe, bs_pe)
+        import_module_params(sd, "pose_encoder.", params_pe, bs_pe,
+                             translate_pose_encoder)
         out["params_pe"], out["batch_stats_pe"] = params_pe, bs_pe
     return out
 
@@ -147,7 +201,7 @@ def import_pose2pose(pth_path: str, state: Dict[str, Any]) -> Dict[str, Any]:
     out = dict(state)
     params = _to_mutable(state["params_ae"])
     bs = _to_mutable(state.get("batch_stats_ae", {}))
-    import_module_params(sd, "ae.", params, bs)
+    import_module_params(sd, "ae.", params, bs, translate_autoencoder)
     out["params_ae"], out["batch_stats_ae"] = params, bs
     for k in ("clip_code_mu", "clip_code_logvar"):
         if k in sd:

@@ -1,0 +1,58 @@
+"""End-to-end .pth import: a reference-style checkpoint (module.-prefixed state dict
+with netG/clips_code) mapped onto the pipeline state via utils.torch_import."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                                reason="reference repo not mounted")
+
+
+@pytest.mark.slow
+def test_import_voice2pose_checkpoint(tmp_path):
+    import torch
+
+    sys.path.insert(0, REFERENCE)
+    from core.networks.keypoints_generation.generator import \
+        SequenceGeneratorCNN as TorchGen
+
+    from speechdrivestemplates_tpu.config import get_cfg_defaults
+    from speechdrivestemplates_tpu.datasets.synthetic import make_synthetic_speaker
+    from speechdrivestemplates_tpu.pipelines import get_pipeline
+    from speechdrivestemplates_tpu.utils.torch_import import import_voice2pose
+
+    root = str(tmp_path / "speakers")
+    make_synthetic_speaker(root, "oliver", num_train=4, num_dev=2)
+
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(os.path.join(os.path.dirname(__file__), "..", "configs",
+                                     "voice2pose_sdt_bp.yaml"))
+    cfg.DATASET.ROOT_DIR = root
+    cfg.DATASET.SPEAKER = "oliver"
+    cfg.TRAIN.BATCH_SIZE = 4
+    cfg.SYS.MESH.DATA = 1
+    cfg.freeze()
+
+    # fabricate a reference-style checkpoint (DataParallel module. prefixes)
+    torch.manual_seed(0)
+    tgen = TorchGen(cfg)
+    sd = {f"module.netG.{k}": v for k, v in tgen.state_dict().items()}
+    sd["module.clips_code"] = torch.randn(4, 32)
+    ckpt_path = str(tmp_path / "ref.pth")
+    torch.save({"model_state_dict": sd, "epoch": 7, "step": 70}, ckpt_path)
+
+    pipe = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
+    pipe.setup_dataset(cfg, "train")
+    pipe.setup_model(cfg)
+    new_state = import_voice2pose(ckpt_path, pipe.state)
+
+    np.testing.assert_allclose(np.asarray(new_state["clips_code"]),
+                               sd["module.clips_code"].numpy(), atol=1e-6)
+    # a conv kernel landed transposed into channels-last layout
+    tw = sd["module.netG.decoder.4.weight"].numpy()  # (242, 256, 1)
+    ours = np.asarray(new_state["params_g"]["decoder_out"]["kernel"])  # (1, 256, 242)
+    np.testing.assert_allclose(ours, np.transpose(tw, (2, 1, 0)), atol=1e-6)

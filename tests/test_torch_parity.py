@@ -47,11 +47,12 @@ def _cfg(norm="IN", code_dim=32, hierarchical=True):
     return cfg
 
 
-def _import_from_torch_module(torch_module, flax_params, flax_stats, prefix=""):
-    from speechdrivestemplates_tpu.utils.torch_import import import_module_params
+def _import_from_torch_module(torch_module, flax_params, flax_stats, translate):
+    from speechdrivestemplates_tpu.utils import torch_import as ti
 
     sd = {k: v.detach().numpy() for k, v in torch_module.state_dict().items()}
-    import_module_params(sd, prefix, flax_params, flax_stats)
+    ti.import_module_params(sd, "", flax_params, flax_stats,
+                            getattr(ti, f"translate_{translate}"))
     return flax_params, flax_stats
 
 
@@ -78,7 +79,7 @@ def test_generator_forward_parity(ref_networks, rng):
                           jnp.asarray(code), False)
     params = _to_mutable(variables["params"])
     stats = _to_mutable(variables.get("batch_stats", {}))
-    _import_from_torch_module(tgen, params, stats)
+    _import_from_torch_module(tgen, params, stats, "generator")
     v2 = {"params": params}
     if stats:
         v2["batch_stats"] = stats
@@ -120,7 +121,7 @@ def test_generator_bn_forward_parity(ref_networks, rng):
     variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(mel), 64, None, True)
     params = _to_mutable(variables["params"])
     stats = _to_mutable(variables.get("batch_stats", {}))
-    _import_from_torch_module(tgen, params, stats)
+    _import_from_torch_module(tgen, params, stats, "generator")
     v2 = {"params": params, "batch_stats": stats}
 
     with torch.no_grad():
@@ -149,7 +150,7 @@ def test_discriminator_forward_parity(ref_networks, rng):
     variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x), False)
     params = _to_mutable(variables["params"])
     stats = _to_mutable(variables.get("batch_stats", {}))
-    _import_from_torch_module(tdisc, params, stats)
+    _import_from_torch_module(tdisc, params, stats, "discriminator")
     v2 = {"params": params, "batch_stats": stats}
 
     with torch.no_grad():
@@ -182,7 +183,7 @@ def test_autoencoder_decoder_parity(ref_networks, rng):
                           jnp.asarray(poses), 64, None, False)
     params = _to_mutable(variables["params"])
     stats = _to_mutable(variables.get("batch_stats", {}))
-    _import_from_torch_module(tae, params, stats)
+    _import_from_torch_module(tae, params, stats, "autoencoder")
     v2 = {"params": params, "batch_stats": stats}
 
     with torch.no_grad():
