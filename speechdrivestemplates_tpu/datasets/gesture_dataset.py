@@ -88,7 +88,23 @@ class GestureDataset:
         return len(self.clips)
 
     def get_speaker_stat(self, speaker: str, num_kp: int, parted: bool):
-        return get_speaker_stat(speaker, num_kp, parted)
+        try:
+            return get_speaker_stat(speaker, num_kp, parted)
+        except KeyError:
+            # custom speakers: auto-register the sidecar stats written by
+            # data_preprocess/4_2 into <speaker_dir>/speaker_stat-{mode}.npz
+            # (the reference requires hand-pasting arrays into speakers_stat.py)
+            mode = "parted" if parted else "global"
+            sidecar = os.path.join(os.path.dirname(self.root_dir), speaker,
+                                   f"speaker_stat-{mode}.npz")
+            if not os.path.exists(sidecar):
+                raise
+            from .speakers_stat import register_speaker_stat
+
+            with np.load(sidecar, allow_pickle=True) as z:
+                register_speaker_stat(speaker, z["mean"], z["std"],
+                                      float(z["scale_factor"]), parted)
+            return get_speaker_stat(speaker, num_kp, parted)
 
     # -- item pipeline -----------------------------------------------------------
     def __getitem__(self, idx: int) -> Dict[str, Any]:
