@@ -19,6 +19,9 @@ def _env():
     env["PYTHONPATH"] = ""  # drop the TPU-registering sitecustomize
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    # share the persistent compile cache with the test process (conftest)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.cache/sdt_jax_tests"))
     return env
 
 
