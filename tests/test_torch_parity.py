@@ -203,6 +203,56 @@ def test_autoencoder_decoder_parity(ref_networks, rng):
 
 
 @pytest.mark.slow
+def test_full_audio_to_pose_parity(ref_networks, rng):
+    """Composite: waveform -> mel -> generator vs the torch oracle chain
+    (torch.stft mel + reference generator with transplanted weights).  This is the
+    whole reference Voice2PoseModel.forward inference path (voice2pose.py:125-126)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from speechdrivestemplates_tpu.models import build_model
+    from speechdrivestemplates_tpu.ops.mel import mel_filterbank, mel_spectrogram
+    from speechdrivestemplates_tpu.utils.torch_import import _to_mutable
+
+    TorchGen, _, _ = ref_networks
+    cfg = _cfg(norm="IN", code_dim=32)
+
+    torch.manual_seed(0)
+    tgen = TorchGen(cfg).eval()
+
+    audio = (rng.randn(2, 68266) * 0.1).astype(np.float32)
+    code = rng.randn(2, 32).astype(np.float32)
+
+    # torch oracle mel (== torchaudio MelSpectrogram with the reference params)
+    x = torch.from_numpy(audio)
+    window = torch.hann_window(400, periodic=True)
+    spec = torch.stft(x, n_fft=512, hop_length=160, win_length=400, window=window,
+                      center=True, pad_mode="reflect", normalized=False,
+                      onesided=True, return_complex=True)
+    power = spec.real ** 2 + spec.imag ** 2
+    fb = torch.from_numpy(mel_filterbank())
+    t_mel = torch.matmul(power.transpose(-1, -2), fb).transpose(-1, -2)
+    with torch.no_grad():
+        theirs = tgen(t_mel, 64, torch.from_numpy(code)).numpy()
+
+    ours_model = build_model("SequenceGeneratorCNN", cfg)
+    variables = ours_model.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 80, 427)), 64,
+                                jnp.zeros((1, 32)), False)
+    params = _to_mutable(variables["params"])
+    stats = _to_mutable(variables.get("batch_stats", {}))
+    _import_from_torch_module(tgen, params, stats, "generator")
+    v2 = {"params": params}
+    if stats:
+        v2["batch_stats"] = stats
+
+    mel = mel_spectrogram(jnp.asarray(audio), impl="dft")
+    ours = np.asarray(ours_model.apply(v2, mel, 64, jnp.asarray(code), False))
+    np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
 def test_mel_reference_params_shape():
     """68267-sample audio snapped to 68266 -> (80, 427) mel, matching the
     reference's torchaudio call (voice2pose.py:125)."""
