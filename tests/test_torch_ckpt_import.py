@@ -56,3 +56,52 @@ def test_import_voice2pose_checkpoint(tmp_path):
     tw = sd["module.netG.decoder.4.weight"].numpy()  # (242, 256, 1)
     ours = np.asarray(new_state["params_g"]["decoder_out"]["kernel"])  # (1, 256, 242)
     np.testing.assert_allclose(ours, np.transpose(tw, (2, 1, 0)), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_import_pose2pose_checkpoint(tmp_path):
+    import torch
+
+    sys.path.insert(0, REFERENCE)
+    from core.networks.poses_reconstruction.autoencoder import \
+        Autoencoder as TorchAE
+
+    from speechdrivestemplates_tpu.config import get_cfg_defaults
+    from speechdrivestemplates_tpu.datasets.synthetic import make_synthetic_speaker
+    from speechdrivestemplates_tpu.pipelines import get_pipeline
+    from speechdrivestemplates_tpu.utils.torch_import import import_pose2pose
+
+    root = str(tmp_path / "speakers")
+    make_synthetic_speaker(root, "oliver", num_train=4, num_dev=2)
+
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(os.path.join(os.path.dirname(__file__), "..", "configs",
+                                     "pose2pose.yaml"))
+    cfg.DATASET.ROOT_DIR = root
+    cfg.DATASET.SPEAKER = "oliver"
+    cfg.TRAIN.BATCH_SIZE = 4
+    cfg.SYS.MESH.DATA = 1
+    cfg.freeze()
+
+    torch.manual_seed(0)
+    tae = TorchAE(cfg)
+    sd = {f"module.ae.{k}": v for k, v in tae.state_dict().items()}
+    sd["module.clip_code_mu"] = torch.randn(4, 32)
+    sd["module.clip_code_logvar"] = torch.randn(4, 32)
+    ckpt_path = str(tmp_path / "ref_p2p.pth")
+    torch.save({"model_state_dict": sd}, ckpt_path)
+
+    pipe = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
+    pipe.setup_dataset(cfg, "train")
+    pipe.setup_model(cfg)
+    new_state = import_pose2pose(ckpt_path, pipe.state)
+
+    np.testing.assert_allclose(np.asarray(new_state["clip_code_mu"]),
+                               sd["module.clip_code_mu"].numpy(), atol=1e-6)
+    tw = sd["module.ae.decoder.blocks.4.weight"].numpy()  # (242, 256, 1)
+    ours = np.asarray(new_state["params_ae"]["decoder"]["out"]["kernel"])
+    np.testing.assert_allclose(ours, np.transpose(tw, (2, 1, 0)), atol=1e-6)
+    # BN running stats landed in batch_stats
+    bs = new_state["batch_stats_ae"]["encoder"]["ConvNormRelu_0"]["norm"]
+    tm = sd["module.ae.encoder.blocks.0.norm.running_mean"].numpy()
+    np.testing.assert_allclose(np.asarray(bs["mean"]), tm, atol=1e-6)
