@@ -13,17 +13,6 @@ import numpy as np
 
 from generate_dataset_utils import pose137_to_pose121
 
-parser = argparse.ArgumentParser(description="remove outliers")
-parser.add_argument("-b", "--base_dataset_path", type=str, required=True)
-parser.add_argument("-s", "--speaker", type=str, required=True)
-parser.add_argument("-np", "--num_processes", type=int, default=1)
-parser.add_argument("-d", "--debug", action="store_true")
-args = parser.parse_args()
-
-DATASET_PATH = os.path.join(args.base_dataset_path, args.speaker)
-DIR_RAW_POSE = os.path.join(DATASET_PATH, "tmp", "raw_pose_2d")
-DIR_CLEANED_POSE = os.path.join(DATASET_PATH, "tmp", "cleaned_pose_2d")
-
 
 def is_pose_outlier(path: str) -> bool:
     pose = pose137_to_pose121(np.load(path))  # (3, 121)
@@ -31,14 +20,25 @@ def is_pose_outlier(path: str) -> bool:
 
 
 def main():
-    if not os.path.exists(DIR_CLEANED_POSE):
+    parser = argparse.ArgumentParser(description="remove outliers")
+    parser.add_argument("-b", "--base_dataset_path", type=str, required=True)
+    parser.add_argument("-s", "--speaker", type=str, required=True)
+    parser.add_argument("-np", "--num_processes", type=int, default=1)
+    parser.add_argument("-d", "--debug", action="store_true")
+    args = parser.parse_args()
+
+    dataset_path = os.path.join(args.base_dataset_path, args.speaker)
+    dir_raw = os.path.join(dataset_path, "tmp", "raw_pose_2d")
+    dir_cleaned = os.path.join(dataset_path, "tmp", "cleaned_pose_2d")
+
+    if not os.path.exists(dir_cleaned):
         print("Copying raw_pose_2d to cleaned_pose_2d...")
-        shutil.copytree(DIR_RAW_POSE, DIR_CLEANED_POSE)
+        shutil.copytree(dir_raw, dir_cleaned)
     else:
         print("cleaned_pose_2d dir already exists")
 
-    for vid_nm in sorted(os.listdir(DIR_CLEANED_POSE)):
-        vid_dir = os.path.join(DIR_CLEANED_POSE, vid_nm)
+    for vid_nm in sorted(os.listdir(dir_cleaned)):
+        vid_dir = os.path.join(dir_cleaned, vid_nm)
         removed = 0
         for pose_fn in sorted(os.listdir(vid_dir)):
             p = os.path.join(vid_dir, pose_fn)

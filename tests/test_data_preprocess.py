@@ -72,6 +72,34 @@ def test_calculate_mean_std_accumulate(tmp_path):
     np.testing.assert_allclose(mean[:, :, 1], 0, atol=1e-12)
 
 
+def test_remove_outlier_rule(tmp_path, rng):
+    mod = __import__("2_2_remove_outlier", fromlist=["is_pose_outlier"])
+    good = rng.rand(3, 137).astype(np.float32) * 500 + 10
+    p_good = str(tmp_path / "good.npy")
+    np.save(p_good, good)
+    assert mod.is_pose_outlier(p_good) is False
+
+    bad = good.copy()
+    bad[:2, 50] = 1.0  # both coords of one kept keypoint near the origin
+    p_bad = str(tmp_path / "bad.npy")
+    np.save(p_bad, bad)
+    assert mod.is_pose_outlier(p_bad) is True
+
+    # a dropped (lower-body) keypoint near origin must NOT trigger the rule
+    ok = good.copy()
+    ok[:2, 10] = 1.0  # index 10 is removed by the 137->121 selection
+    p_ok = str(tmp_path / "ok.npy")
+    np.save(p_ok, ok)
+    assert mod.is_pose_outlier(p_ok) is False
+
+
+def test_shoulder_distance():
+    mod = __import__("2_3_rescale_shoulder_width", fromlist=["shoulder_distance"])
+    pose = np.zeros((3, 137), np.float32)
+    pose[0, 5], pose[0, 2] = 100.0, 40.0  # shoulders 60 px apart on x
+    assert abs(mod.shoulder_distance(pose) - 60.0) < 1e-6
+
+
 def test_split_train_val_test_cli(tmp_path):
     base = tmp_path / "root"
     spk = base / "spk" / "tmp" / "intermediate_csv"
