@@ -69,3 +69,26 @@ def test_restructure_like_string_keyed_tuple():
     out = restructure_like(tpl, raw)
     assert isinstance(out, tuple)
     np.testing.assert_array_equal(np.asarray(out[0]), [0, 1])
+
+
+def test_multiply_batch_semantics(rng):
+    """Reference mutiply_batch (trainer.py:343-353): tensors repeat-interleave along
+    a new leading axis then flatten; lists concatenate."""
+    batch = {
+        "audio": rng.randn(3, 10).astype(np.float32),
+        "speaker": ["a", "b", "c"],
+        "nested": {"x": np.arange(3)},
+    }
+    out = Trainer.multiply_batch(batch, 2)
+    assert out["audio"].shape == (6, 10)
+    np.testing.assert_array_equal(out["audio"][:3], batch["audio"])
+    np.testing.assert_array_equal(out["audio"][3:], batch["audio"])
+    assert out["speaker"] == ["a", "b", "c", "a", "b", "c"]
+    np.testing.assert_array_equal(out["nested"]["x"], [0, 1, 2, 0, 1, 2])
+
+
+def test_concat_tensor_dict():
+    coll = {}
+    Trainer.concat_tensor_dict({"mu": np.ones((2, 4))}, coll)
+    Trainer.concat_tensor_dict({"mu": np.zeros((3, 4))}, coll)
+    assert coll["mu"].shape == (5, 4)
