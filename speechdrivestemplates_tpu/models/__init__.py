@@ -27,7 +27,13 @@ def get_model(name: str):
 def _compute_dtype(cfg):
     import jax.numpy as jnp
 
-    return jnp.bfloat16 if cfg.TRAIN.PRECISION == "bf16" else None
+    precision = cfg.TRAIN.PRECISION
+    if precision == "bf16":
+        return jnp.bfloat16
+    if precision == "fp32":
+        return None
+    raise ValueError(
+        f"TRAIN.PRECISION must be 'fp32' or 'bf16', got {precision!r}")
 
 
 def build_model(name: str, cfg):

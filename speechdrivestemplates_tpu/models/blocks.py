@@ -38,6 +38,54 @@ def _normalize_free(x: jnp.ndarray, axes: Sequence[int]) -> jnp.ndarray:
     return (x - mean) * jax.lax.rsqrt(var + NORM_EPS)
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch running-stat semantics.
+
+    Normalization in train mode uses the biased batch variance (as both torch
+    and flax do), but the running-var EMA ingests the UNBIASED variance
+    (``n/(n-1)`` correction) — torch BatchNorm1d/2d behavior that
+    ``flax.linen.BatchNorm`` does not reproduce (it EMAs the biased one).
+    Variable names (params scale/bias, batch_stats mean/var) match flax's so
+    checkpoints and the torch importer are unchanged.  Statistics are always
+    computed in fp32 even when the compute dtype is bf16.
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.9  # flax convention: decay of the old running value
+    epsilon: float = 1e-5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((features,), jnp.float32))
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.var(xf, axis=axes)
+            if not self.is_initializing():
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
 class ConvNormRelu(nn.Module):
     """Conv -> Norm -> (Leaky)ReLU, 1D or 2D (reference building_blocks.py:4-55).
 
@@ -79,7 +127,7 @@ class ConvNormRelu(nn.Module):
         )(x)
 
         if self.norm == "BN":
-            x = nn.BatchNorm(
+            x = TorchBatchNorm(
                 use_running_average=not train,
                 momentum=BN_MOMENTUM,
                 epsilon=NORM_EPS,
@@ -113,8 +161,8 @@ class FCNormRelu(nn.Module):
         x = nn.Dense(self.out_features, use_bias=False, kernel_init=kaiming_normal,
                      dtype=self.dtype)(x)
         if self.norm == "BN":
-            x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                             epsilon=NORM_EPS, dtype=self.dtype)(x)
+            x = TorchBatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                               epsilon=NORM_EPS, dtype=self.dtype, name="norm")(x)
         elif self.norm == "IN":
             x = _normalize_free(x, axes=(-1,))
         return nn.leaky_relu(x, 0.2) if self.leaky else nn.relu(x)

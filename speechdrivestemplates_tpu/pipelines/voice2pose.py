@@ -317,25 +317,36 @@ class Voice2Pose(Trainer):
             losses["G_clipcode_kl_loss"] = kl
             g_loss = g_loss + kl
 
-        new_bs_d = state_d[1] if state_d else None
         if self.has_disc:
             fake_in = self._disc_input(pred)
-            score_fake, new_bs_d = self._apply_disc(state_d[0], state_d[1],
-                                                    fake_in, train)
+            # Running-stat updates from this forward are discarded: the D's
+            # stat cadence is reproduced exactly in _disc_losses (see below).
+            score_fake, _ = self._apply_disc(state_d[0], state_d[1], fake_in, train)
             gan = (_mse(score_fake, jnp.ones_like(score_fake))
                    * cfg.VOICE2POSE.POSE_DISCRIMINATOR.LAMBDA_GAN)
             losses["G_pose_gan_loss"] = gan
             g_loss = g_loss + gan
 
         losses["G_loss"] = g_loss
-        return g_loss, (losses, new_bs_d)
+        return g_loss, losses
 
     def _disc_losses(self, params_d, batch_stats_d, fake, real, train):
         cfg_d = self.cfg.VOICE2POSE.POSE_DISCRIMINATOR
         fake_in = self._disc_input(fake)
         real_in = self._disc_input(real)
-        score_fake, bs1 = self._apply_disc(params_d, batch_stats_d, fake_in, train)
-        score_real, bs2 = self._apply_disc(params_d, bs1, real_in, train)
+        score_real, bs1 = self._apply_disc(params_d, batch_stats_d, real_in, train)
+        score_fake, bs2 = self._apply_disc(params_d, bs1, fake_in, train)
+        if train and bs2:
+            # The reference runs THREE train-mode D forwards per step — real,
+            # fake (for the G loss), fake.detach() (voice2pose.py:193-195) —
+            # so its BN running stats EMA three batches per step, the last two
+            # with identical batch statistics.  EMA is linear, so the third
+            # update is the closed-form extrapolation bs3 = bs2 + m*(bs2 - bs1)
+            # (m = EMA decay): exact cadence parity with zero extra forwards.
+            from ..models.blocks import BN_MOMENTUM
+
+            bs2 = jax.tree.map(lambda b2, b1: b2 + BN_MOMENTUM * (b2 - b1),
+                               bs2, bs1)
         d_fake = _mse(score_fake, jnp.zeros_like(score_fake))
         d_real = _mse(score_real, jnp.ones_like(score_real))
         d_loss = (d_real + d_fake) * cfg_d.LAMBDA_GAN
@@ -380,12 +391,12 @@ class Voice2Pose(Trainer):
                     params_g, state["batch_stats_g"], mel, num_frames, code, True)
                 state_d = ((state["params_d"], state["batch_stats_d"])
                            if self.has_disc else None)
-                g_loss, (losses, new_bs_d) = self._generator_losses(
+                g_loss, losses = self._generator_losses(
                     pred, batch["poses"], code, state_d, True)
-                return g_loss, (losses, pred, new_bs_g, new_bs_d)
+                return g_loss, (losses, pred, new_bs_g)
 
             code_arg = state.get("clips_code", jnp.zeros((1, 1)))
-            (g_loss, (losses, pred, new_bs_g, new_bs_d)), grads = (
+            (g_loss, (losses, pred, new_bs_g)), grads = (
                 jax.value_and_grad(g_loss_fn, argnums=(0, 1), has_aux=True)(
                     state["params_g"], code_arg))
             g_grads, code_grads = grads
@@ -405,8 +416,8 @@ class Voice2Pose(Trainer):
             if self.has_disc:
                 fake = jax.lax.stop_gradient(pred)
                 def d_loss_fn(params_d):
-                    return self._disc_losses(params_d, new_bs_d, fake,
-                                             batch["poses"], True)
+                    return self._disc_losses(params_d, state["batch_stats_d"],
+                                             fake, batch["poses"], True)
                 (d_loss, (d_aux, bs_d2)), d_grads = jax.value_and_grad(
                     d_loss_fn, has_aux=True)(state["params_d"])
                 dupd, new_state["opt_d"] = disc_opt.update(
@@ -457,7 +468,7 @@ class Voice2Pose(Trainer):
                 gt = batch["poses"]
                 state_d = ((state["params_d"], state["batch_stats_d"])
                            if self.has_disc else None)
-                _, (losses, _) = self._generator_losses(pred, gt, code, state_d, False)
+                _, losses = self._generator_losses(pred, gt, code, state_d, False)
                 if self.has_disc:
                     d_loss, (d_aux, _) = self._disc_losses(
                         state["params_d"], state["batch_stats_d"], pred, gt, False)
