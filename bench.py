@@ -110,6 +110,17 @@ def bench_train_step(batch: int = 32, iters: int = 10, warmup: int = 2):
         step_fn = pipe._get_train_step()
         rngs = [jax.random.PRNGKey(i) for i in range(4)]
 
+        # FLOP accounting for MFU: XLA's own cost model on the compiled step
+        # (fwd + 3 grads + 3 optax updates + metrics).
+        step_flops = None
+        try:
+            ca = step_fn.lower(pipe.state, dbs[0], rngs[0]).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            step_flops = float(ca.get("flops", 0.0)) or None
+        except Exception as e:  # pragma: no cover - backend-dependent
+            print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
+
         state = pipe.state
         for i in range(warmup):
             state, losses, _ = step_fn(state, dbs[i % len(dbs)], rngs[i % 4])
@@ -125,7 +136,7 @@ def bench_train_step(batch: int = 32, iters: int = 10, warmup: int = 2):
         n1, n2 = iters, iters * 4
         t1, state = timed(n1, state)
         t2, state = timed(n2, state)
-        return (n2 - n1) / (t2 - t1)
+        return (n2 - n1) / (t2 - t1), step_flops
 
 
 def _emit(frames_per_sec: float):
@@ -157,9 +168,16 @@ def main():
     watchdog.daemon = True
     watchdog.start()
     try:
-        train_sps = bench_train_step()
+        train_sps, step_flops = bench_train_step()
         print(f"[bench] train: {train_sps:.2f} steps/s (batch 32, SDT-BP)",
               file=sys.stderr, flush=True)
+        if step_flops:
+            # v5e peak: 197 TFLOP/s bf16 per chip (fp32 via bf16x3 is ~1/3).
+            peak = 197e12
+            mfu = step_flops * train_sps / peak
+            print(f"[bench] train step = {step_flops/1e9:.2f} GFLOP "
+                  f"(XLA cost model) -> MFU {mfu*100:.2f}% of v5e bf16 peak",
+                  file=sys.stderr, flush=True)
     except Exception as e:  # pragma: no cover
         print(f"[bench] train-step bench failed: {e}", file=sys.stderr, flush=True)
     finally:

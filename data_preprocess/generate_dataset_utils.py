@@ -116,3 +116,36 @@ def deduct_root_parted(poses: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     poses[..., :2, P137_HANDR_BEGIN:P137_HANDR_BEGIN + 21] -= (
         poses[..., :2, P137_HANDR_ROOT, None])
     return poses, root
+
+
+# --- new-speaker rescale-target derivation (reference generate_dataset_utils.py
+# cal_speaker_scalar, :140-177) -------------------------------------------------
+
+# The canonical speaker everything is rescaled against: oliver's mean shoulder
+# width in pixels, and oliver's own DATASET.SCALE_FACTOR.
+OLIVER_SHOULDER_DIST = 331.0850066245443
+OLIVER_SCALAR = 0.9549234615419752
+
+
+def mean_shoulder_distance(mean: "np.ndarray") -> float:
+    """Shoulder width of a 4_1 mean table ((1, 2, 137) or (1, 3, 137):
+    keypoints 2 and 5 are the pose-137 shoulders)."""
+    mean = np.asarray(mean, dtype=np.float64)
+    return float(np.sqrt(np.sum((mean[0, :2, 2] - mean[0, :2, 5]) ** 2)))
+
+
+def cal_speaker_scalar(mean_std_path: str) -> float:
+    """Derive a NEW speaker's visualization/metric scalar from its 4_1 stats
+    file (mean_std-*.npz with a 'mean' entry, or a bare .npy mean): the scalar
+    that puts the speaker's shoulder width on oliver's normalized scale.  This
+    is how the hardcoded per-speaker scale factors in speakers_stat were
+    produced upstream."""
+    if mean_std_path.endswith(".npz"):
+        with np.load(mean_std_path) as z:
+            mean = np.asarray(z["mean"])
+    elif mean_std_path.endswith(".npy"):
+        mean = np.load(mean_std_path)
+    else:
+        raise ValueError(f"expected .npz or .npy stats file: {mean_std_path}")
+    dist = mean_shoulder_distance(mean)
+    return OLIVER_SHOULDER_DIST * OLIVER_SCALAR / dist

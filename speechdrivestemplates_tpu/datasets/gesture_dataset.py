@@ -76,6 +76,41 @@ class GestureDataset:
 
         self._cache: Dict[int, Dict[str, Any]] = {}
         self._cache_lock = threading.Lock()
+        self._soa: Optional[Dict[str, Any]] = None
+
+    def materialize(self) -> Optional[Dict[str, Any]]:
+        """Structure-of-arrays cache: every sample stacked once into contiguous
+        (N, ...) arrays so a batch is a single vectorized gather per key
+        instead of per-item dict stacking.  ~2.5x faster steady-state epochs
+        than the per-item cache (bench_loader.py).  Only for CACHING=True
+        train/val splits; returns None otherwise."""
+        if self.split == "demo" or not self.cfg.CACHING:
+            return None
+        with self._cache_lock:
+            if self._soa is not None:
+                return self._soa
+        samples = [self[i] for i in range(len(self))]  # serves warm _cache hits
+        soa = _collate(samples)
+        with self._cache_lock:
+            self._soa = soa
+            self._cache.clear()  # item-level cache is now redundant
+        return self._soa
+
+    def gather(self, indices) -> Dict[str, Any]:
+        """Batch = fancy-indexed slice of the materialized arrays."""
+        soa = self.materialize()
+        import numpy as _np
+
+        idx = _np.asarray(indices, dtype=_np.int64)
+
+        def take(v):
+            if isinstance(v, dict):
+                return {k: take(vv) for k, vv in v.items()}
+            if isinstance(v, list):
+                return [v[int(i)] for i in idx]
+            return v[idx]
+
+        return {k: take(v) for k, v in soa.items()}
 
     # -- plumbing --------------------------------------------------------------
     def _read_csv(self, sp_dir: Optional[str] = None) -> pd.DataFrame:
@@ -113,9 +148,23 @@ class GestureDataset:
 
         if self.cfg.CACHING:
             with self._cache_lock:
+                if self._soa is not None:  # post-materialize stragglers
+                    def take1(v):
+                        if isinstance(v, dict):
+                            return {k: take1(vv) for k, vv in v.items()}
+                        return v[idx]
+
+                    return {k: take1(v) for k, v in self._soa.items()}
                 if idx in self._cache:
                     return self._cache[idx]
 
+        sample = self._load_item(idx)
+        if self.cfg.CACHING:
+            with self._cache_lock:
+                self._cache[idx] = sample
+        return sample
+
+    def _load_item(self, idx: int) -> Dict[str, Any]:
         clip = self.clips.iloc[idx]
         speaker = clip["speaker"]
         clip_dir = clip["_dir"] if "_dir" in clip else self.root_dir
@@ -254,6 +303,29 @@ class DataLoader:
         self.prefetch = max(1, prefetch)
         self.num_workers = num_workers
         self.epoch = 0
+        self._executor = None
+        if num_workers > 1:
+            from .native_loader import native_available
+
+            if not native_available():
+                import logging
+
+                logging.warning(
+                    "DataLoader: SYS.NUM_WORKERS=%d but the native loader "
+                    "(native/libsdt_dataio.so) is not built; worker threads "
+                    "are GIL-bound on the numpy fallback and add no "
+                    "parallelism. Build it with `make -C native` (or see "
+                    "native/build.sh).", num_workers)
+
+    def _get_executor(self):
+        """Persistent item-level pool (one per loader, not one per batch)."""
+        if self._executor is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._executor = ThreadPoolExecutor(
+                max_workers=self.num_workers,
+                thread_name_prefix="sdt-loader")
+        return self._executor
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -288,14 +360,31 @@ class DataLoader:
         sentinel = object()
 
         def fetch(b):
+            ds = self.dataset
+            if getattr(ds, "_soa", None) is not None:
+                return ds.gather(b)  # steady state: one vectorized gather/key
             if self.num_workers > 1:
                 # item-level thread pool: the native C++ loader releases the GIL,
                 # so threads genuinely overlap npz parse + pose transforms
-                from concurrent.futures import ThreadPoolExecutor
+                ex = self._get_executor()
+                batch = _collate(list(ex.map(lambda i: ds[int(i)], b)))
+            else:
+                batch = _collate([ds[int(i)] for i in b])
+            # Promote the item cache to the SoA layout once every clip has been
+            # seen (end of the first CACHING epoch): later epochs become gathers.
+            if (hasattr(ds, "materialize")
+                    and getattr(getattr(ds, "cfg", None), "CACHING", False)
+                    and len(getattr(ds, "_cache", ())) >= len(ds)):
+                ds.materialize()
+            return batch
 
-                with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
-                    return _collate(list(ex.map(lambda i: self.dataset[int(i)], b)))
-            return _collate([self.dataset[int(i)] for i in b])
+        if getattr(self.dataset, "_soa", None) is not None:
+            # RAM-resident dataset: a batch is a ~3ms vectorized gather with no
+            # IO to overlap, and the producer-thread handoff costs more than
+            # the fetch itself (GIL switch latency per queue put/get).
+            for b in batches:
+                yield fetch(b)
+            return
 
         def producer():
             try:

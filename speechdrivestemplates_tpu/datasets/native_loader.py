@@ -61,6 +61,8 @@ def _load_lib() -> Optional[ctypes.CDLL]:
 
 
 def native_available() -> bool:
+    if os.environ.get("SDT_DISABLE_NATIVE"):
+        return False
     return _load_lib() is not None
 
 
@@ -68,6 +70,8 @@ def load_clip_native(path: str, num_frames: int, hierarchical: bool,
                      mean: np.ndarray, std: np.ndarray, audio_len: int):
     """Returns (poses (T,2,121) f32, scores (T,2,121) f32, audio (audio_len,) f32)
     or None when the native library is unavailable or the clip is malformed."""
+    if os.environ.get("SDT_DISABLE_NATIVE"):  # bench/debug escape hatch
+        return None
     lib = _load_lib()
     if lib is None:
         return None

@@ -215,7 +215,10 @@ class Trainer:
             cand = os.path.join(path, "checkpoints")
         entries = [e for e in os.listdir(cand) if e.startswith("checkpoint_")]
         if not entries:
-            return path  # let the loader produce its own error
+            raise FileNotFoundError(
+                f"no checkpoint_* entries under {cand!r} (from {path!r}); "
+                "pass a checkpoint directory, an experiment directory, or a "
+                "checkpoints/ directory")
 
         def key(name: str):
             try:
@@ -544,6 +547,10 @@ def _make_tb_writer(base_path: str):
         from torch.utils.tensorboard import SummaryWriter
 
         return SummaryWriter(log_dir=base_path)
-    except Exception:
-        logging.warning("TensorBoard writer unavailable; scalar logging to file only")
+    except Exception as e:
+        logging.error(
+            "TensorBoard writer unavailable (%s: %s) — TB scalars/figures/"
+            "videos are DISABLED for this run; file/console logging only. "
+            "Install the 'tensorboard' package to restore them.",
+            type(e).__name__, e)
         return None

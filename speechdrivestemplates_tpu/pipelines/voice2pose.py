@@ -450,7 +450,7 @@ class Voice2Pose(Trainer):
 
         return jax.jit(step, donate_argnums=(0,))
 
-    def _build_eval_step(self, num_frames: int, t_mel: int):
+    def _build_eval_step(self, num_frames: int):
         mel_impl = self.cfg.SYS.MEL_IMPL
 
         def step(state, batch, rng, interpolation_coeff, fixed_code=None):
@@ -498,9 +498,11 @@ class Voice2Pose(Trainer):
         return self._jit_cache[key]
 
     def _get_eval_step(self, num_frames: int, t_mel: int):
+        # t_mel is part of the cache key only: jit retraces per audio shape
+        # anyway, but keying keeps one Python closure per compiled shape.
         key = ("eval", num_frames, t_mel)
         if key not in self._jit_cache:
-            self._jit_cache[key] = self._build_eval_step(num_frames, t_mel)
+            self._jit_cache[key] = self._build_eval_step(num_frames)
         return self._jit_cache[key]
 
     # -- batch marshalling -----------------------------------------------------------
@@ -651,7 +653,7 @@ class Voice2Pose(Trainer):
                                 results_dict["logvar_pred"]], axis=1),
                 np.concatenate([results_dict["mu_gt"],
                                 results_dict["logvar_gt"]], axis=1))
-        logging.info("Compelte epoch evaluation in %.2f min",
+        logging.info("Complete epoch evaluation in %.2f min",
                      (time.time() - tic) / 60)
         return metrics
 

@@ -108,7 +108,13 @@ def import_module_params(sd: Dict[str, np.ndarray], torch_prefix: str,
                          batch_stats: Optional[Dict[str, Any]],
                          translate: Callable[[str], Optional[Path]]):
     """Fill ``params``/``batch_stats`` (plain mutable dicts) from the torch state
-    dict entries under ``torch_prefix``, using the architecture translator."""
+    dict entries under ``torch_prefix``, using the architecture translator.
+
+    Uses ``jnp.array`` (guaranteed copy), NOT ``jnp.asarray``: state-dict
+    values are often zero-copy numpy VIEWS of live torch tensors
+    (``t.detach().numpy()``), and CPU jax aliases host numpy buffers — an
+    in-place torch optimizer/BN update would silently mutate the "imported"
+    jax parameters."""
     import jax.numpy as jnp
 
     filled = 0
@@ -126,7 +132,7 @@ def import_module_params(sd: Dict[str, np.ndarray], torch_prefix: str,
                 continue
             node = _get_node(params, path + ("conv",))
             assert leaf == "weight"
-            node["kernel"] = jnp.asarray(_conv_to_flax(value))
+            node["kernel"] = jnp.array(_conv_to_flax(value))
             filled += 1
         elif parent_key.endswith(".norm"):
             path = translate(parent_key[: -len(".norm")])
@@ -134,10 +140,10 @@ def import_module_params(sd: Dict[str, np.ndarray], torch_prefix: str,
                 continue
             if leaf in ("weight", "bias"):
                 node = _get_node(params, path + ("norm",), create=True)
-                node["scale" if leaf == "weight" else "bias"] = jnp.asarray(value)
+                node["scale" if leaf == "weight" else "bias"] = jnp.array(value)
             elif batch_stats is not None:
                 node = _get_node(batch_stats, path + ("norm",), create=True)
-                node["mean" if leaf == "running_mean" else "var"] = jnp.asarray(value)
+                node["mean" if leaf == "running_mean" else "var"] = jnp.array(value)
             filled += 1
         elif (leaf == "weight" and np.ndim(value) >= 3) or leaf == "bias":
             # plain final convs (no .conv. wrapper): decoder.4 / seq.3 / blocks.4
@@ -146,9 +152,9 @@ def import_module_params(sd: Dict[str, np.ndarray], torch_prefix: str,
                 continue
             node = _get_node(params, path)
             if leaf == "weight":
-                node["kernel"] = jnp.asarray(_conv_to_flax(value))
+                node["kernel"] = jnp.array(_conv_to_flax(value))
             else:
-                node["bias"] = jnp.asarray(value)
+                node["bias"] = jnp.array(value)
             filled += 1
     assert filled > 0, f"no entries imported for prefix {torch_prefix!r}"
     return filled
@@ -176,7 +182,7 @@ def import_voice2pose(pth_path: str, state: Dict[str, Any]) -> Dict[str, Any]:
     out["params_g"], out["batch_stats_g"] = params_g, bs_g
 
     if "clips_code" in state and "clips_code" in sd:
-        out["clips_code"] = jnp.asarray(sd["clips_code"])
+        out["clips_code"] = jnp.array(sd["clips_code"])
 
     if "params_d" in state and any(k.startswith("netD_pose.") for k in sd):
         params_d = _to_mutable(state["params_d"])
@@ -205,5 +211,5 @@ def import_pose2pose(pth_path: str, state: Dict[str, Any]) -> Dict[str, Any]:
     out["params_ae"], out["batch_stats_ae"] = params, bs
     for k in ("clip_code_mu", "clip_code_logvar"):
         if k in sd:
-            out[k] = jnp.asarray(sd[k])
+            out[k] = jnp.array(sd[k])
     return out

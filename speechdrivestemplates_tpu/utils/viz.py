@@ -114,21 +114,73 @@ def vis_relative_pose_pair_clip(preds, gts, canvas_size):
                      for p, g in zip(preds, gts)])
 
 
-def vis_train_npz(npz_path, out_dir=None, max_frames=None):
+def vis_train_npz(npz_path, out_dir=None, max_frames=None, align_image=False):
     """Offline inspector for a training clip npz: renders pose frames
     (reference keypoint_visualization.py:116-145 shows them interactively with
-    cv2.imshow; this headless variant writes jpgs and returns the frame array)."""
+    cv2.imshow; this headless variant writes jpgs and returns the frame list).
+
+    ``align_image=True`` draws each skeleton over the ORIGINAL video frame
+    whose path is stored in the clip's ``imgs`` entry (as the reference's
+    align_image mode does); frames whose image is missing/undecodable fall
+    back to the flat canvas."""
     items = np.load(npz_path, allow_pickle=True)
     poses = items["pose"]  # (T, 3, 137)
+    imgs = items["imgs"] if align_image and "imgs" in items else None
     frames = []
     n = len(poses) if max_frames is None else min(max_frames, len(poses))
     for i in range(n):
-        img = np.zeros((720, 1280, 3), dtype=np.uint8) + 240
+        img = None
+        if imgs is not None and i < len(imgs) and _HAS_CV2:
+            path = imgs[i]
+            if isinstance(path, bytes):
+                path = path.decode("utf-8")
+            img = cv2.imread(str(path)) if path else None
+        if img is None:
+            img = np.zeros((720, 1280, 3), dtype=np.uint8) + 240
         draw_body_parts(img, poses[i].transpose(1, 0)[:, :2], size=2)
         frames.append(img)
         if out_dir is not None and _HAS_CV2:
             cv2.imwrite(f"{out_dir}/frame_{i:06d}.jpg", img)
-    return np.array(frames)
+    return frames
+
+
+def vis_train_csv_dir(data_root, speaker, num_kp=137, out_dir=None,
+                      align_image=False, max_frames=None, max_clips=None,
+                      csv_path=None):
+    """Batch-inspect every clip listed in a training csv (reference
+    keypoint_visualization.py:149-160, headless).  Accepts either the
+    reference's ``train_<speaker>_<num_kp>_3.csv`` (absolute pose_fn paths) or
+    this repo's ``<root>/<speaker>/processed_137.csv`` (pose_fn relative to the
+    speaker dir).  Writes per-clip frame jpgs under ``out_dir/<clip_stem>/``
+    and returns the list of clip paths rendered."""
+    import csv as _csv
+    import os
+
+    speaker_dir = os.path.join(data_root, speaker)
+    if csv_path is None:
+        csv_path = os.path.join(data_root, f"train_{speaker}_{num_kp}_3.csv")
+        if not os.path.exists(csv_path):
+            csv_path = os.path.join(speaker_dir, "processed_137.csv")
+    if not os.path.exists(csv_path):
+        raise FileNotFoundError(csv_path)
+
+    rendered = []
+    with open(csv_path, newline="") as f:
+        for row in _csv.DictReader(f):
+            npz_path = row["pose_fn"]
+            if not os.path.isabs(npz_path):
+                npz_path = os.path.join(speaker_dir, npz_path)
+            clip_out = None
+            if out_dir is not None:
+                clip_out = os.path.join(
+                    out_dir, os.path.splitext(os.path.basename(npz_path))[0])
+                os.makedirs(clip_out, exist_ok=True)
+            vis_train_npz(npz_path, out_dir=clip_out, max_frames=max_frames,
+                          align_image=align_image)
+            rendered.append(npz_path)
+            if max_clips is not None and len(rendered) >= max_clips:
+                break
+    return rendered
 
 
 def vis_pose_npy(npy_path, out_path=None):

@@ -123,3 +123,34 @@ def test_speaker_stat_tables():
     assert not np.allclose(st["mean"], stg["mean"])
     with pytest.raises(KeyError):
         get_speaker_stat("nobody", 121, True)
+
+
+def test_soa_cache_promotion_and_equality(data_root):
+    """CACHING=True: after the first full epoch the item cache is promoted to
+    a structure-of-arrays; gathered batches must equal per-item collation
+    exactly, and post-promotion __getitem__ must still return samples."""
+    cfg = _cfg(data_root)
+    cfg.DATASET.CACHING = True
+    ds = get_dataset("GestureDataset")(data_root, "oliver", "train", cfg)
+    dl = DataLoader(ds, batch_size=4, shuffle=True, num_workers=0)
+    first = list(dl)  # fills + promotes
+    assert ds._soa is not None and not ds._cache
+
+    cfg2 = _cfg(data_root)
+    cfg2.DATASET.CACHING = False
+    ds2 = get_dataset("GestureDataset")(data_root, "oliver", "train", cfg2)
+
+    dl.set_epoch(1)
+    for b in dl:
+        for j, idx in enumerate(np.asarray(b["clip_index"])):
+            ref = ds2[int(idx)]
+            np.testing.assert_array_equal(b["poses"][j], ref["poses"])
+            np.testing.assert_array_equal(b["audio"][j], ref["audio"])
+            np.testing.assert_array_equal(b["speaker_stat"]["mean"][j],
+                                          ref["speaker_stat"]["mean"])
+            assert b["speaker"][j] == ref["speaker"]
+
+    # straggler single-item access after promotion
+    s = ds[2]
+    np.testing.assert_array_equal(s["poses"], ds2[2]["poses"])
+    assert s["num_frames"] == ds2[2]["num_frames"]

@@ -92,3 +92,11 @@ def test_concat_tensor_dict():
     Trainer.concat_tensor_dict({"mu": np.ones((2, 4))}, coll)
     Trainer.concat_tensor_dict({"mu": np.zeros((3, 4))}, coll)
     assert coll["mu"].shape == (5, 4)
+
+
+def test_resolve_checkpoint_raises_when_empty(tmp_path):
+    import pytest
+
+    (tmp_path / "checkpoints").mkdir()
+    with pytest.raises(FileNotFoundError, match="no checkpoint_"):
+        Trainer.resolve_checkpoint(str(tmp_path))
