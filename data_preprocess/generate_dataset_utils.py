@@ -149,3 +149,117 @@ def cal_speaker_scalar(mean_std_path: str) -> float:
         raise ValueError(f"expected .npz or .npy stats file: {mean_std_path}")
     dist = mean_shoulder_distance(mean)
     return OLIVER_SHOULDER_DIST * OLIVER_SCALAR / dist
+
+
+# --- dataset auditing + multi-camera (two-view) utilities -----------------------
+# Reference: generate_dataset_utils.py:179-528 (check_dataset_single,
+# dataset_statistics, distribute_for_multiprocess, Speech2gestureDatasetGenerator
+# .check_kp, LigeDatasetGenerator.split_left_right / compare_shoulder /
+# unify_left_right_direct).  The upstream versions hardcode the authors' cluster
+# paths and interactive prompts; these take explicit paths and return values.
+
+def chunk_for_workers(items: list, num_workers: int) -> list:
+    """Split a list into ``num_workers`` contiguous chunks (last takes the rest)."""
+    per = -(-len(items) // max(1, num_workers))
+    return [items[i * per:(i + 1) * per] for i in range(num_workers - 1)] + [
+        items[(num_workers - 1) * per:]]
+
+
+def dataset_split_counts(csv_path: str) -> dict:
+    """Per-split clip counts of a processed csv ({'train': n, 'dev': n, 'idle': n,
+    'total': n}); the reference prints these per speaker."""
+    import pandas as pd
+
+    df = pd.read_csv(csv_path)
+    return {"train": int((df["dataset"] == "train").sum()),
+            "dev": int((df["dataset"] == "dev").sum()),
+            "idle": int((df["dataset"] == "idle").sum()),
+            "total": int(len(df))}
+
+
+def dataset_statistics(csv_paths: list) -> None:
+    """Print split counts for a list of processed csvs (reference :202-223)."""
+    for csv_path in csv_paths:
+        try:
+            c = dataset_split_counts(csv_path)
+            name = os.path.basename(csv_path)
+            print(f"dataset: {name:>40s}, train: {c['train']:>6d}, "
+                  f"dev: {c['dev']:>6d}, idle: {c['idle']:>3d}, "
+                  f"total: {c['total']:>6d}")
+        except Exception as e:  # keep auditing the rest
+            print(f"ERROR when checking {csv_path}: {e}")
+
+
+def is_out_of_frame(kp: np.ndarray, frame_w: int = 1280,
+                    margin_x: int = 15, margin_y: int = 5) -> bool:
+    """Reference quarantine rule for per-frame keypoints (3, 137): subject
+    touching the frame edges (x_min < margin, x_max > W - margin, y_min <
+    margin) means a partial/failed detection."""
+    body = pose137_to_pose121(kp[None])[0][:2]
+    return bool(body[0].min() < margin_x or body[0].max() > frame_w - margin_x
+                or body[1].min() < margin_y)
+
+
+def quarantine_out_of_frame_kp(kp_dir: str, trash_dir: str,
+                               frame_w: int = 1280) -> int:
+    """Move per-frame .npy keypoints that fail ``is_out_of_frame`` into
+    ``trash_dir``; returns how many were quarantined (reference check_kp)."""
+    os.makedirs(trash_dir, exist_ok=True)
+    moved = 0
+    for fn in sorted(os.listdir(kp_dir)):
+        if not fn.endswith(".npy"):
+            continue
+        path = os.path.join(kp_dir, fn)
+        if is_out_of_frame(np.load(path), frame_w):
+            shutil.move(path, os.path.join(trash_dir, fn))
+            moved += 1
+    return moved
+
+
+def split_left_right(pose_fns: list, frame_w: int = 1280,
+                     rename: bool = True) -> "pd.DataFrame":
+    """Two-camera datasets: label each per-frame pose 'left'/'right' by the
+    root keypoint's x (threshold W/2) and optionally rename files with _l/_r
+    suffixes; returns a DataFrame[pose_fn, camera] (reference :324-370)."""
+    import pandas as pd
+
+    thd = frame_w // 2
+    rows = []
+    for pose_fn in pose_fns:
+        pose = np.load(pose_fn)
+        camera = "left" if float(pose[0, P137_GLOBAL_ROOT]) <= thd else "right"
+        out_fn = pose_fn
+        if rename:
+            d, raw = os.path.split(pose_fn)
+            stem, ext = os.path.splitext(raw)
+            if not (stem.endswith("_l") or stem.endswith("_r")):
+                out_fn = os.path.join(
+                    d, stem + ("_l" if camera == "left" else "_r") + ext)
+                os.rename(pose_fn, out_fn)
+        rows.append({"pose_fn": out_fn, "camera": camera})
+    return pd.DataFrame(rows)
+
+
+def camera_shoulder_averages(df: "pd.DataFrame") -> dict:
+    """Mean shoulder width per camera label (reference compare_shoulder)."""
+    out = {}
+    for cam, group in df.groupby("camera"):
+        dists = [float(np.sqrt(np.sum((p[:, 2] - p[:, 5]) ** 2)))
+                 for p in (np.load(fn) for fn in group["pose_fn"])]
+        out[cam] = float(np.mean(dists)) if dists else float("nan")
+    return out
+
+
+def unify_left_right(df: "pd.DataFrame", left_scalar: float,
+                     right_scalar: float) -> int:
+    """Rescale every right-camera pose in place by right_scalar/left_scalar so
+    both views share the left camera's scale (reference
+    unify_left_right_direct); returns the number of rescaled files."""
+    ratio = right_scalar / left_scalar
+    n = 0
+    for fn in df[df["camera"] == "right"]["pose_fn"]:
+        pose = np.load(fn)
+        pose[:2] = pose[:2] * ratio
+        np.save(fn, pose)
+        n += 1
+    return n

@@ -43,22 +43,27 @@ def _resize_matrix(in_len: int, out_len: int) -> np.ndarray:
     return W.astype(np.float32)
 
 
-# Interpolation weights are exact fp32 lerp coefficients; run these tiny contractions
-# at full precision so TPU bf16 matmul defaults don't perturb skip connections.
-_PRECISION = jax.lax.Precision.HIGHEST
+# Interpolation weights are exact fp32 lerp coefficients.  In fp32 compute the
+# contractions run at HIGHEST precision so TPU bf16 matmul defaults don't
+# perturb skip connections (forward-parity requirement).  When the activations
+# are ALREADY bf16 (TRAIN.PRECISION=bf16) the inputs carry bf16 error anyway,
+# so a 3-pass bf16x3 matmul buys nothing — use the MXU's native pass instead.
+def _precision_for(x: jnp.ndarray):
+    return (None if x.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST)
 
 
 def interpolate_linear_time(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
     """Resize the time axis of a (..., T, C) tensor to ``out_len``
     (torch 'linear', align_corners=False, antialias=False)."""
-    W = jnp.asarray(_resize_matrix(x.shape[-2], out_len))
-    return jnp.einsum("ot,...tc->...oc", W, x, precision=_PRECISION)
+    W = jnp.asarray(_resize_matrix(x.shape[-2], out_len), dtype=x.dtype)
+    return jnp.einsum("ot,...tc->...oc", W, x, precision=_precision_for(x))
 
 
 def interpolate_bilinear(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     """Resize the (H, W) axes of a (..., H, W, C) tensor
     (torch 'bilinear', align_corners=False, antialias=False) — separable."""
-    Wh = jnp.asarray(_resize_matrix(x.shape[-3], out_hw[0]))
-    Ww = jnp.asarray(_resize_matrix(x.shape[-2], out_hw[1]))
-    x = jnp.einsum("oh,...hwc->...owc", Wh, x, precision=_PRECISION)
-    return jnp.einsum("pw,...owc->...opc", Ww, x, precision=_PRECISION)
+    prec = _precision_for(x)
+    Wh = jnp.asarray(_resize_matrix(x.shape[-3], out_hw[0]), dtype=x.dtype)
+    Ww = jnp.asarray(_resize_matrix(x.shape[-2], out_hw[1]), dtype=x.dtype)
+    x = jnp.einsum("oh,...hwc->...owc", Wh, x, precision=prec)
+    return jnp.einsum("pw,...owc->...opc", Ww, x, precision=prec)

@@ -53,25 +53,44 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Device-put a pytree of host arrays with the leading axis split over 'data'.
+    """Place a pytree of host arrays with the leading axis split over 'data'.
+
+    Single-process: a plain sharded device_put.  Multi-process: each process
+    passes its LOCAL loader shard (the DataLoader already partitions clips by
+    process, replacing DistributedSampler) and the shards are assembled into
+    one global array per leaf — the jax.Array analog of DDP's
+    per-rank batches.
 
     Non-array leaves (e.g. the speaker-name list) must be stripped before calling.
     """
     sh = batch_sharding(mesh)
-    n = mesh.size
+    nproc = jax.process_count()
+    n_local = max(1, mesh.size // nproc)
 
     def put(x):
-        if np.ndim(x) >= 1 and x.shape[0] % n != 0:
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % n_local != 0:
             raise ValueError(
-                f"batch axis ({x.shape[0]}) must divide the data mesh size ({n}); "
-                f"set TRAIN/TEST.BATCH_SIZE to a multiple of the device count or "
-                f"shrink the mesh with SYS.MESH.DATA")
+                f"per-process batch axis ({x.shape[0]}) must divide the local "
+                f"device count ({n_local}); set TRAIN/TEST.BATCH_SIZE to a "
+                f"multiple of the global device count or shrink the mesh with "
+                f"SYS.MESH.DATA")
+        if nproc > 1:
+            return jax.make_array_from_process_local_data(sh, x)
         return jax.device_put(x, sh)
 
     return jax.tree.map(put, batch)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
-    """Device-put a pytree fully replicated across the mesh."""
+    """Place a pytree fully replicated across the mesh (every process passes
+    the same host values; multi-process assembly via make_array_from_callback)."""
     sh = replicated_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree.map(put, tree)

@@ -1,0 +1,97 @@
+"""Worker process for the 2-process jax.distributed integration test.
+
+Each worker is one 'host' of a 2-host CPU cluster (2 virtual devices each,
+4 global).  It runs the real Voice2Pose pipeline path — per-process loader
+shard -> global batch assembly -> jitted train step over the global mesh ->
+collective orbax checkpoint -> restore -> one more step — and prints one JSON
+line the parent asserts on (replicated losses/params must be identical across
+processes; data shards must be disjoint).
+
+Usage: python _mp_worker.py <coordinator> <process_id> <num_processes>
+       <data_root> <out_dir>
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    coordinator, pid, nproc, data_root, out_dir = sys.argv[1:6]
+    pid, nproc = int(pid), int(nproc)
+
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=2").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc
+    assert jax.device_count() == 2 * nproc, jax.device_count()
+
+    import numpy as np
+
+    from speechdrivestemplates_tpu.config import get_cfg_defaults
+    from speechdrivestemplates_tpu.pipelines import get_pipeline
+
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(os.path.join(os.path.dirname(__file__), "..",
+                                     "configs", "voice2pose_sdt_bp.yaml"))
+    cfg.DATASET.ROOT_DIR = data_root
+    cfg.DATASET.SPEAKER = "oliver"
+    cfg.TRAIN.BATCH_SIZE = 2 * nproc  # one sample per global device... x2 below
+    cfg.TRAIN.BATCH_SIZE = 4 * nproc  # 2 samples/device (KL var needs >1/batch)
+    cfg.TRAIN.VALIDATE = False
+    cfg.TRAIN.SAVE_VIDEO = False
+    cfg.SYS.MESH.DATA = 2 * nproc
+    cfg.freeze()
+
+    pipe = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
+    pipe.setup_dataset(cfg, "train")
+    pipe.setup_model(cfg)
+    pipe.setup_optimizer()
+
+    seen = []
+    step_fn = pipe._get_train_step()
+    losses_log = []
+    for i, batch in enumerate(pipe.train_dataloader):
+        seen.extend(np.asarray(batch["clip_index"]).tolist())
+        pipe.state, losses, _ = step_fn(pipe.state, pipe._device_batch(batch),
+                                        jax.random.PRNGKey(i))
+        losses_log.append({k: float(np.asarray(v)) for k, v in losses.items()})
+        if i == 1:
+            break
+
+    # collective checkpoint save + restore
+    pipe.base_path = out_dir
+    pipe.save_checkpoint(epoch=1, global_step=2)
+    params_before = float(sum(
+        np.abs(np.asarray(x)).sum()
+        for x in jax.tree.leaves(pipe.state["params_g"])))
+    tree = pipe.load_checkpoint_tree(os.path.join(out_dir, "checkpoints"))
+    pipe.load_state(tree["state"], load_optimizers=True)
+    params_after = float(sum(
+        np.abs(np.asarray(x)).sum()
+        for x in jax.tree.leaves(pipe.state["params_g"])))
+
+    # one more step from the restored state
+    batch = next(iter(pipe.train_dataloader))
+    pipe.state, losses3, _ = step_fn(pipe.state, pipe._device_batch(batch),
+                                     jax.random.PRNGKey(99))
+
+    print("MPRESULT " + json.dumps({
+        "process": pid,
+        "seen": sorted(seen),
+        "losses": losses_log,
+        "params_l1_before": params_before,
+        "params_l1_after_restore": params_after,
+        "post_restore_G_loss": float(np.asarray(losses3["G_loss"])),
+    }), flush=True)
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    main()

@@ -116,3 +116,60 @@ def test_split_train_val_test_cli(tmp_path):
     assert counts["train"] == 80
     assert counts["idle"] == 13
     assert counts["dev"] == 7  # runtime split name (the csv the dataset reads)
+
+
+def test_dataset_audit_and_two_camera_utils(tmp_path):
+    """Ports of the reference's dataset-audit and two-camera one-offs
+    (generate_dataset_utils.py:179-528), path-parameterized."""
+    import pandas as pd
+
+    import generate_dataset_utils as gdu
+
+    # chunker
+    chunks = gdu.chunk_for_workers(list(range(10)), 3)
+    assert [len(c) for c in chunks] == [4, 4, 2]
+    assert sum(chunks, []) == list(range(10))
+
+    # split counts
+    df = pd.DataFrame({"dataset": ["train"] * 3 + ["dev"] * 2 + ["idle"],
+                       "pose_fn": ["x"] * 6})
+    p = str(tmp_path / "processed.csv")
+    df.to_csv(p, index=False)
+    assert gdu.dataset_split_counts(p) == {"train": 3, "dev": 2, "idle": 1,
+                                           "total": 6}
+
+    # out-of-frame quarantine
+    kp_dir = tmp_path / "kp"
+    kp_dir.mkdir()
+    good = np.zeros((3, 137)) + 400
+    bad = good.copy()
+    bad[0, 3] = 5.0  # x_min < 15 on a body keypoint
+    np.save(str(kp_dir / "f0.npy"), good)
+    np.save(str(kp_dir / "f1.npy"), bad)
+    moved = gdu.quarantine_out_of_frame_kp(str(kp_dir), str(tmp_path / "trash"))
+    assert moved == 1
+    assert sorted(os.listdir(kp_dir)) == ["f0.npy"]
+    assert sorted(os.listdir(tmp_path / "trash")) == ["f1.npy"]
+
+    # two-camera split + shoulder averages + unification
+    cam_dir = tmp_path / "cams"
+    cam_dir.mkdir()
+    fns = []
+    for i, (rootx, sh) in enumerate([(300, 100.0), (900, 200.0)]):
+        pose = np.zeros((3, 137)) + rootx
+        pose[0, 1] = rootx
+        pose[0, 2] = rootx - sh / 2
+        pose[0, 5] = rootx + sh / 2
+        pose[1, 2] = pose[1, 5] = 360.0
+        fn = str(cam_dir / f"p{i}.npy")
+        np.save(fn, pose)
+        fns.append(fn)
+    df = gdu.split_left_right(fns, frame_w=1280, rename=True)
+    assert sorted(df["camera"]) == ["left", "right"]
+    assert all(fn.endswith(("_l.npy", "_r.npy")) for fn in df["pose_fn"])
+    avgs = gdu.camera_shoulder_averages(df)
+    assert abs(avgs["left"] - 100.0) < 1e-6 and abs(avgs["right"] - 200.0) < 1e-6
+    n = gdu.unify_left_right(df, left_scalar=1.0, right_scalar=2.0)
+    assert n == 1
+    avgs2 = gdu.camera_shoulder_averages(df)
+    assert abs(avgs2["right"] - 400.0) < 1e-6  # x2 rescale applied in place
