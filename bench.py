@@ -31,7 +31,9 @@ def _enable_compile_cache():
         pass
 
 
-def bench_inference(batch: int = 32, iters: int = 40, warmup: int = 5):
+def bench_inference(batch: int = 128, iters: int = 40, warmup: int = 5):
+    # batch 128 is the measured serving sweet spot on v5e (703k frames/s vs
+    # 578k at batch 32 and 468k at 64 — XLA tiling, see docs/STATUS_r2.md)
     """Device-resident throughput: inputs are pre-staged on the device (several
     distinct buffers, cycled, so no execution can be deduped) and host<->device
     transfer is excluded — the production loader overlaps it with compute."""
@@ -152,7 +154,7 @@ def main():
     _enable_compile_cache()
     frames_per_sec, step_time = bench_inference()
     print(f"[bench] inference: {frames_per_sec:.1f} pose-frames/s/chip "
-          f"({step_time*1e3:.2f} ms / batch-32 fwd)", file=sys.stderr, flush=True)
+          f"({step_time*1e3:.2f} ms / batch-128 fwd)", file=sys.stderr, flush=True)
 
     # The primary metric is secured; guard the auxiliary train-step bench with a
     # watchdog so a wedged remote compile can never swallow the JSON line.
