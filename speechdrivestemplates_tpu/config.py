@@ -317,6 +317,12 @@ def _build_defaults() -> CfgNode:
     _C.DEMO.WINDOWED = False      # slice long audio into fixed windows
     _C.DEMO.WINDOW_FRAMES = 64    # frames per window (matches the train shape)
     _C.DEMO.HALO_FRAMES = 16      # overlap cropped/cross-faded per side
+    # EXACT long-form generation: shard the generator's time axis across the
+    # device mesh (halo-exchanged convs + psum'd InstanceNorm — see
+    # parallel/seqparallel.py). Output equals the dense forward on the
+    # silence-padded audio, trimmed; unlike WINDOWED there is no crossfade
+    # approximation. Takes precedence over WINDOWED when both are set.
+    _C.DEMO.SEQUENCE_PARALLEL = False
 
     _C.SYS = CfgNode()
     _C.SYS.OUTPUT_DIR = "output/"

@@ -563,7 +563,10 @@ class Voice2Pose(Trainer):
                   interpolation_coeff=None):
         tag = "DEMO"
         num_frames = int(np.asarray(batch["num_frames"])[0])
-        if (self.cfg.DEMO.WINDOWED
+        if self.cfg.DEMO.SEQUENCE_PARALLEL:
+            results = self._seq_parallel_demo_forward(batch, num_frames,
+                                                      interpolation_coeff)
+        elif (self.cfg.DEMO.WINDOWED
                 and num_frames > self.cfg.DEMO.WINDOW_FRAMES):
             results = self._windowed_demo_forward(batch, num_frames,
                                                   interpolation_coeff)
@@ -589,6 +592,60 @@ class Voice2Pose(Trainer):
                     self.cfg, tag, vid, t_step, epoch, long_img=long_img,
                     audio=np.asarray(batch["audio"][0]), writer=self.tb_writer,
                     base_path=self.base_path, extra_id=extra_id)
+
+    def _demo_code(self, batch, interpolation_coeff):
+        """One style code for a whole long-form clip (fixed index + optional
+        interpolation, or a random bank row) — per-window/per-shard sampling
+        would flicker."""
+        if not self.has_code:
+            return None
+        cfg_d = self.cfg.DEMO
+        bank = self.state["clips_code"]
+        if cfg_d.CODE_INDEX is not None:
+            code = bank[cfg_d.CODE_INDEX]
+            if interpolation_coeff is not None and cfg_d.CODE_INDEX_B is not None:
+                code = (code * (1 - interpolation_coeff)
+                        + bank[cfg_d.CODE_INDEX_B] * interpolation_coeff)
+        else:
+            idx = jax.random.randint(self._next_rng(), (), 0, bank.shape[0])
+            code = bank[idx]
+        return code
+
+    def _seq_parallel_demo_forward(self, batch, num_frames: int,
+                                   interpolation_coeff):
+        """EXACT long-form demo: ONE generator forward with the time axis
+        sharded over the data mesh (parallel/seqparallel.py) — halo-exchanged
+        convs + psum'd InstanceNorm statistics reproduce the dense forward on
+        the silence-padded audio, then the pad frames are trimmed.  No window
+        crossfade, no 24 s cap (the reference's dense forward tops out at
+        MAX_DEMO_LENGTH; DEMO.WINDOWED approximates per-window IN stats)."""
+        from ..parallel.seqparallel import generator_seq_parallel
+
+        if self.cfg.VOICE2POSE.GENERATOR.NORM != "IN":
+            raise NotImplementedError(
+                "DEMO.SEQUENCE_PARALLEL supports the IN-norm generators "
+                "(sdt_bp / sdt_vae); use DEMO.WINDOWED for NORM="
+                f"{self.cfg.VOICE2POSE.GENERATOR.NORM!r}")
+        n = self.mesh.size
+        t_pad = -(-num_frames // (32 * n)) * (32 * n)
+        audio = np.asarray(batch["audio"][0], np.float32)
+        t_mel = -(-(len(audio) // 160 + 2) // (8 * n)) * (8 * n)
+        audio_pad = np.zeros(((t_mel - 1) * 160,), np.float32)
+        audio_pad[: len(audio)] = audio
+
+        mel = np.asarray(mel_spectrogram(jnp.asarray(audio_pad[None]),
+                                         impl=self.cfg.SYS.MEL_IMPL))
+        code = self._demo_code(batch, interpolation_coeff)
+        code_np = None if code is None else np.asarray(code)[None]
+
+        pred = generator_seq_parallel(
+            self.mesh, self.state["params_g"], mel, t_pad, code_np,
+            leaky=self.cfg.VOICE2POSE.GENERATOR.LEAKY_RELU,
+            num_landmarks=self.cfg.DATASET.NUM_LANDMARKS)
+        pred = jnp.asarray(np.asarray(pred)[:, :num_frames])
+        final = self._final_results(batch, pred)
+        return {"poses_pred_batch": np.asarray(final),
+                "condition_code": code_np}
 
     def _windowed_demo_forward(self, batch, num_frames: int, interpolation_coeff):
         """Long-form demo: slice audio into fixed train-shaped windows, run them as
