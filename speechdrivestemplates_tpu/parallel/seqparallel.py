@@ -220,6 +220,12 @@ def _generator_seq_forward(params: Dict[str, Any], mel: jnp.ndarray,
         x = jnp.concatenate([x, code_t], axis=-1)
 
     unet = params["unet"]
+    e0_in = unet["e0"]["conv"]["kernel"].shape[1]
+    if x.shape[-1] != e0_in:
+        raise ValueError(
+            f"generator expects {e0_in} UNet input channels but got "
+            f"{x.shape[-1]}: pass `code` iff the checkpoint was trained with "
+            "CLIP_CODE.DIMENSION set (and with the same dimension)")
 
     def cnr1d(x, p, stride, pad):
         x = _conv_time(x, p["conv"]["kernel"], stride, pad, time_axis=1)

@@ -46,7 +46,6 @@ def test_two_process_distributed_train(tmp_path):
     out_dirs[1] = out_dirs[0]
     os.makedirs(out_dirs[0], exist_ok=True)
 
-    coordinator = f"localhost:{_free_port()}"
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = "cpu"
@@ -54,17 +53,33 @@ def test_two_process_distributed_train(tmp_path):
         [os.path.abspath(os.path.join(HERE, ".."))]
         + env.get("PYTHONPATH", "").split(os.pathsep))
 
-    procs = [subprocess.Popen(
-        [sys.executable, os.path.join(HERE, "_mp_worker.py"), coordinator,
-         str(i), "2", data_root, out_dirs[i]],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
-        for i in range(2)]
-    outs = [p.communicate(timeout=1500)[0] for p in procs]
+    def launch():
+        coordinator = f"localhost:{_free_port()}"
+        procs = [subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "_mp_worker.py"), coordinator,
+             str(i), "2", data_root, out_dirs[i]],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env) for i in range(2)]
+        return procs, [p.communicate(timeout=1500)[0] for p in procs]
+
+    # one retry for INFRA failures only (port races / rendezvous timeouts under
+    # load); VALUE assertions below stay strict and are never retried
+    for attempt in range(2):
+        procs, outs = launch()
+        infra_fail = any(p.returncode != 0 for p in procs) or not all(
+            any(ln.startswith("MPRESULT ") for ln in out.splitlines())
+            for out in outs)
+        if not infra_fail:
+            break
+        if attempt == 1:
+            for i, (p, out) in enumerate(zip(procs, outs)):
+                assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+                assert any(ln.startswith("MPRESULT ")
+                           for ln in out.splitlines()), \
+                    f"worker {i} printed no result:\n{out[-2000:]}"
     results = {}
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+    for i, out in enumerate(outs):
         line = [ln for ln in out.splitlines() if ln.startswith("MPRESULT ")]
-        assert line, f"worker {i} printed no result:\n{out[-2000:]}"
         results[i] = json.loads(line[-1][len("MPRESULT "):])
 
     r0, r1 = results[0], results[1]
