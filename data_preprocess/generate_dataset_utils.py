@@ -244,7 +244,8 @@ def camera_shoulder_averages(df: "pd.DataFrame") -> dict:
     """Mean shoulder width per camera label (reference compare_shoulder)."""
     out = {}
     for cam, group in df.groupby("camera"):
-        dists = [float(np.sqrt(np.sum((p[:, 2] - p[:, 5]) ** 2)))
+        # x,y only — row 2 is the detector confidence, not a coordinate
+        dists = [float(np.sqrt(np.sum((p[:2, 2] - p[:2, 5]) ** 2)))
                  for p in (np.load(fn) for fn in group["pose_fn"])]
         out[cam] = float(np.mean(dists)) if dists else float("nan")
     return out

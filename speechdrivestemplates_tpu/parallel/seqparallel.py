@@ -254,6 +254,38 @@ def _decoder_out_matmul(x, kernel, bias):
     return jnp.einsum("btc,co->bto", x, kernel[0].astype(x.dtype)) + bias.astype(x.dtype)
 
 
+@functools.lru_cache(maxsize=16)
+def _build_seq_forward(mesh: Mesh, t_mel: int, num_frames: int,
+                       with_code: bool, leaky: bool, num_landmarks: int):
+    """Jitted sharded forward for one (shape, mesh) configuration — cached so
+    repeated demo clips of the same padded shape reuse the compiled program
+    (remote TPU compiles cost minutes)."""
+    n = mesh.size
+    w_valid = t_mel // 8 - 2  # audio-encoder grid after 3 downsamples + VALID
+    resize_ae = make_sharded_resize(t_mel // 8, num_frames, n,
+                                    valid_src=w_valid)
+    resize_up = {}
+    t = num_frames // 32
+    for lvl in range(5):
+        resize_up[lvl] = make_sharded_resize(t, 2 * t, n)
+        t *= 2
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(None, None, AXIS)) + ((P(),) if with_code else ()),
+        out_specs=P(None, AXIS))
+    def run(params, mel_l, *maybe_code):
+        c = maybe_code[0] if maybe_code else None
+        x = _generator_seq_forward(params, mel_l, c, resize_ae, resize_up,
+                                   leaky)
+        out = params["decoder_out"]
+        x = _decoder_out_matmul(x, out["kernel"], out["bias"])
+        B, Tl = x.shape[0], x.shape[1]
+        return x.reshape(B, Tl, 2, num_landmarks)
+
+    return jax.jit(run)
+
+
 def generator_seq_parallel(mesh: Mesh, params: Dict[str, Any], mel: np.ndarray,
                            num_frames: int, code: Optional[np.ndarray],
                            leaky: bool = True,
@@ -268,31 +300,9 @@ def generator_seq_parallel(mesh: Mesh, params: Dict[str, Any], mel: np.ndarray,
     assert t_mel % (8 * n) == 0, (t_mel, n)
     assert num_frames % (32 * n) == 0, (num_frames, n)
 
-    w_valid = t_mel // 8 - 2  # audio-encoder grid after 3 downsamples + VALID
-    resize_ae = make_sharded_resize(t_mel // 8, num_frames, n,
-                                    valid_src=w_valid)
-    resize_up = {}
-    t = num_frames // 32
-    for lvl in range(5):
-        resize_up[lvl] = make_sharded_resize(t, 2 * t, n)
-        t *= 2
-
-    shard = NamedSharding(mesh, P(None, None, AXIS))
-    mel_sh = jax.device_put(jnp.asarray(mel), shard)
-    code_j = None if code is None else jnp.asarray(code)
-
-    @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(None, None, AXIS)) + ((P(),) if code is not None else ()),
-        out_specs=P(None, AXIS))
-    def run(params, mel_l, *maybe_code):
-        c = maybe_code[0] if maybe_code else None
-        x = _generator_seq_forward(params, mel_l, c, resize_ae, resize_up,
-                                   leaky)
-        out = params["decoder_out"]
-        x = _decoder_out_matmul(x, out["kernel"], out["bias"])
-        B, Tl = x.shape[0], x.shape[1]
-        return x.reshape(B, Tl, 2, num_landmarks)
-
-    args = (params, mel_sh) + ((code_j,) if code is not None else ())
-    return jax.jit(run)(*args)
+    mel_sh = jax.device_put(jnp.asarray(mel),
+                            NamedSharding(mesh, P(None, None, AXIS)))
+    run = _build_seq_forward(mesh, t_mel, num_frames, code is not None,
+                             leaky, num_landmarks)
+    args = (params, mel_sh) + (() if code is None else (jnp.asarray(code),))
+    return run(*args)

@@ -626,6 +626,11 @@ class Voice2Pose(Trainer):
                 "DEMO.SEQUENCE_PARALLEL supports the IN-norm generators "
                 "(sdt_bp / sdt_vae); use DEMO.WINDOWED for NORM="
                 f"{self.cfg.VOICE2POSE.GENERATOR.NORM!r}")
+        if self.has_code and self.cfg.VOICE2POSE.GENERATOR.CLIP_CODE.FRAME_VARIANT:
+            raise NotImplementedError(
+                "DEMO.SEQUENCE_PARALLEL does not support FRAME_VARIANT clip "
+                "codes (the per-frame code bank is train-length-shaped; "
+                "use DEMO.WINDOWED)")
         n = self.mesh.size
         t_pad = -(-num_frames // (32 * n)) * (32 * n)
         audio = np.asarray(batch["audio"][0], np.float32)
@@ -673,19 +678,11 @@ class Voice2Pose(Trainer):
                              for k, v in stat.items()},
         }
 
-        # one style code for the whole clip (per-window sampling would flicker)
         fixed_code = None
         if self.has_code:
-            bank = self.state["clips_code"]
-            if cfg_d.CODE_INDEX is not None:
-                code = bank[cfg_d.CODE_INDEX]
-                if interpolation_coeff is not None and cfg_d.CODE_INDEX_B is not None:
-                    code = (code * (1 - interpolation_coeff)
-                            + bank[cfg_d.CODE_INDEX_B] * interpolation_coeff)
-            else:
-                idx = jax.random.randint(self._next_rng(), (), 0, bank.shape[0])
-                code = bank[idx]
-            fixed_code = jnp.broadcast_to(code[None], (nw,) + bank.shape[1:])
+            code = self._demo_code(batch, interpolation_coeff)
+            fixed_code = jnp.broadcast_to(
+                code[None], (nw,) + self.state["clips_code"].shape[1:])
 
         t_mel = windows.shape[-1] // 160 + 1
         step_fn = self._get_eval_step(cfg_d.WINDOW_FRAMES, t_mel)

@@ -41,7 +41,6 @@ def main():
                                      "configs", "voice2pose_sdt_bp.yaml"))
     cfg.DATASET.ROOT_DIR = data_root
     cfg.DATASET.SPEAKER = "oliver"
-    cfg.TRAIN.BATCH_SIZE = 2 * nproc  # one sample per global device... x2 below
     cfg.TRAIN.BATCH_SIZE = 4 * nproc  # 2 samples/device (KL var needs >1/batch)
     cfg.TRAIN.VALIDATE = False
     cfg.TRAIN.SAVE_VIDEO = False

@@ -161,6 +161,8 @@ def test_dataset_audit_and_two_camera_utils(tmp_path):
         pose[0, 2] = rootx - sh / 2
         pose[0, 5] = rootx + sh / 2
         pose[1, 2] = pose[1, 5] = 360.0
+        pose[2, 2], pose[2, 5] = 0.3, 0.9  # differing confidences must not
+        # leak into the shoulder distance (x,y only)
         fn = str(cam_dir / f"p{i}.npy")
         np.save(fn, pose)
         fns.append(fn)

@@ -54,13 +54,30 @@ def test_two_process_distributed_train(tmp_path):
         + env.get("PYTHONPATH", "").split(os.pathsep))
 
     def launch():
+        import threading
+
         coordinator = f"localhost:{_free_port()}"
         procs = [subprocess.Popen(
             [sys.executable, os.path.join(HERE, "_mp_worker.py"), coordinator,
              str(i), "2", data_root, out_dirs[i]],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env) for i in range(2)]
-        return procs, [p.communicate(timeout=1500)[0] for p in procs]
+        # drain BOTH pipes concurrently: sequential communicate() lets one
+        # worker fill its 64KB pipe buffer mid-collective and deadlock both
+        outs = [None, None]
+
+        def drain(i):
+            outs[i] = procs[i].communicate(timeout=1500)[0]
+
+        threads = [threading.Thread(target=drain, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=1600)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        return procs, ["" if o is None else o for o in outs]
 
     # one retry for INFRA failures only (port races / rendezvous timeouts under
     # load); VALUE assertions below stay strict and are never retried
