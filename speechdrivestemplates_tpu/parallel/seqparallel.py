@@ -160,6 +160,16 @@ def _act(x: jnp.ndarray, leaky: bool) -> jnp.ndarray:
     return jax.nn.leaky_relu(x, 0.2) if leaky else jax.nn.relu(x)
 
 
+def _bn_eval(x: jnp.ndarray, norm_params, norm_stats,
+             eps: float = 1e-5) -> jnp.ndarray:
+    """Eval-mode BatchNorm = per-channel affine from running stats (LOCAL —
+    no cross-shard communication needed, unlike InstanceNorm-2d)."""
+    mean, var = norm_stats["mean"], norm_stats["var"]
+    scale, bias = norm_params["scale"], norm_params["bias"]
+    y = (x - mean) * lax.rsqrt(var + eps) * scale + bias
+    return y.astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # the sequence-parallel generator forward
 # ---------------------------------------------------------------------------
@@ -172,25 +182,31 @@ AE_LAYOUT = [  # (name, stride, pad) of the audio encoder 2D stack
 ]
 
 
-def _generator_seq_forward(params: Dict[str, Any], mel: jnp.ndarray,
+def _generator_seq_forward(params: Dict[str, Any], batch_stats,
+                           mel: jnp.ndarray,
                            code: Optional[jnp.ndarray], resize_ae, resize_up,
-                           leaky: bool) -> jnp.ndarray:
+                           leaky: bool, norm: str = "IN") -> jnp.ndarray:
     """Shard-local generator forward (runs under shard_map).
 
     mel: (B, 80, T_mel_local); code: (B, code_dim) replicated or None.
     resize_ae: (mats, halo) for the audio-encoder grid -> frame grid;
     resize_up: dict level -> (mats, halo) for the UNet upsamples.
+    norm: 'IN' (psum'd IN-2d + per-position channel norm) or 'BN'
+    (eval-mode running-stat affine from ``batch_stats`` — s2g checkpoints).
     Returns (B, T_local, 2, K).
     """
     ae = params["audio_encoder"]
+    ae_stats = (batch_stats or {}).get("audio_encoder", {})
     # match models/generator.py: mel (B, n_mels, T) -> NHWC (B, 80, T, 1)
     x = mel[..., None]  # (B, 80, T_mel_l, 1)
 
     for name, stride, pad in AE_LAYOUT:
         k = ae[name]["conv"]["kernel"]
         x = _conv_time(x, k, stride, pad, time_axis=2, h_pad=pad)
-        mask = jnp.ones((x.shape[2],), x.dtype)
-        x = _instance_norm_2d_global(x, mask)
+        if norm == "BN":
+            x = _bn_eval(x, ae[name]["norm"], ae_stats[name]["norm"])
+        else:
+            x = _instance_norm_2d_global(x, jnp.ones((x.shape[2],), x.dtype))
         x = _act(x, leaky)
 
     # (6,3) VALID conv: halo(0,2); last shard's last 2 columns are garbage
@@ -204,7 +220,11 @@ def _generator_seq_forward(params: Dict[str, Any], mel: jnp.ndarray,
     col = lax.iota(jnp.int32, wl)
     mask = jnp.where(idx == n - 1, (col < wl - 2), jnp.ones((wl,), bool))
     mask = mask.astype(x.dtype)
-    x = _instance_norm_2d_global(x, mask)
+    if norm == "BN":
+        x = _bn_eval(x, ae["ConvNormRelu_7"]["norm"],
+                     ae_stats["ConvNormRelu_7"]["norm"])
+    else:
+        x = _instance_norm_2d_global(x, mask)
     x = _act(x, leaky) * mask[None, None, :, None]
 
     # bilinear (H' -> 1, W' -> T): H part is a local matmul; W part is the
@@ -227,26 +247,32 @@ def _generator_seq_forward(params: Dict[str, Any], mel: jnp.ndarray,
             f"{x.shape[-1]}: pass `code` iff the checkpoint was trained with "
             "CLIP_CODE.DIMENSION set (and with the same dimension)")
 
-    def cnr1d(x, p, stride, pad):
+    def cnr1d(x, p, stride, pad, stats=None):
         x = _conv_time(x, p["conv"]["kernel"], stride, pad, time_axis=1)
-        return _act(_pos_channel_norm(x), leaky)
+        if norm == "BN":
+            x = _bn_eval(x, p["norm"], stats["norm"])
+        else:
+            x = _pos_channel_norm(x)
+        return _act(x, leaky)
 
-    e0 = cnr1d(x, unet["e0"], 1, 1)
-    e1 = cnr1d(e0, unet["e1"], 1, 1)
-    e2 = cnr1d(e1, unet["e2"], 2, 1)
-    e3 = cnr1d(e2, unet["e3"], 2, 1)
-    e4 = cnr1d(e3, unet["e4"], 2, 1)
-    e5 = cnr1d(e4, unet["e5"], 2, 1)
-    e6 = cnr1d(e5, unet["e6"], 2, 1)
+    un_stats = (batch_stats or {}).get("unet", {})
+    e0 = cnr1d(x, unet["e0"], 1, 1, un_stats.get("e0"))
+    e1 = cnr1d(e0, unet["e1"], 1, 1, un_stats.get("e1"))
+    e2 = cnr1d(e1, unet["e2"], 2, 1, un_stats.get("e2"))
+    e3 = cnr1d(e2, unet["e3"], 2, 1, un_stats.get("e3"))
+    e4 = cnr1d(e3, unet["e4"], 2, 1, un_stats.get("e4"))
+    e5 = cnr1d(e4, unet["e5"], 2, 1, un_stats.get("e5"))
+    e6 = cnr1d(e5, unet["e6"], 2, 1, un_stats.get("e6"))
 
     d = e6
     for lvl, (name, skip) in enumerate(
             [("d5", e5), ("d4", e4), ("d3", e3), ("d2", e2), ("d1", e1)]):
         d = sharded_resize_time(d, *resize_up[lvl], time_axis=1) + skip
-        d = cnr1d(d, unet[name], 1, 1)
+        d = cnr1d(d, unet[name], 1, 1, un_stats.get(name))
 
     for i in range(4):
-        d = cnr1d(d, params[f"decoder_{i}"], 1, 1)
+        d = cnr1d(d, params[f"decoder_{i}"], 1, 1,
+                  (batch_stats or {}).get(f"decoder_{i}"))
     return d  # decoder_out (k=1 conv) is applied by the caller
 
 
@@ -256,7 +282,8 @@ def _decoder_out_matmul(x, kernel, bias):
 
 @functools.lru_cache(maxsize=16)
 def _build_seq_forward(mesh: Mesh, t_mel: int, num_frames: int,
-                       with_code: bool, leaky: bool, num_landmarks: int):
+                       with_code: bool, leaky: bool, num_landmarks: int,
+                       norm: str = "IN"):
     """Jitted sharded forward for one (shape, mesh) configuration — cached so
     repeated demo clips of the same padded shape reuse the compiled program
     (remote TPU compiles cost minutes)."""
@@ -272,12 +299,12 @@ def _build_seq_forward(mesh: Mesh, t_mel: int, num_frames: int,
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(None, None, AXIS)) + ((P(),) if with_code else ()),
+        in_specs=(P(), P(), P(None, None, AXIS)) + ((P(),) if with_code else ()),
         out_specs=P(None, AXIS))
-    def run(params, mel_l, *maybe_code):
+    def run(params, batch_stats, mel_l, *maybe_code):
         c = maybe_code[0] if maybe_code else None
-        x = _generator_seq_forward(params, mel_l, c, resize_ae, resize_up,
-                                   leaky)
+        x = _generator_seq_forward(params, batch_stats, mel_l, c, resize_ae,
+                                   resize_up, leaky, norm)
         out = params["decoder_out"]
         x = _decoder_out_matmul(x, out["kernel"], out["bias"])
         B, Tl = x.shape[0], x.shape[1]
@@ -289,7 +316,9 @@ def _build_seq_forward(mesh: Mesh, t_mel: int, num_frames: int,
 def generator_seq_parallel(mesh: Mesh, params: Dict[str, Any], mel: np.ndarray,
                            num_frames: int, code: Optional[np.ndarray],
                            leaky: bool = True,
-                           num_landmarks: int = 121) -> jnp.ndarray:
+                           num_landmarks: int = 121, norm: str = "IN",
+                           batch_stats: Optional[Dict[str, Any]] = None
+                           ) -> jnp.ndarray:
     """Dense-equivalent SequenceGeneratorCNN forward with the time axis sharded
     over ``mesh``.  mel: (B, 80, T_mel) host array; returns (B, T, 2, K).
 
@@ -300,9 +329,13 @@ def generator_seq_parallel(mesh: Mesh, params: Dict[str, Any], mel: np.ndarray,
     assert t_mel % (8 * n) == 0, (t_mel, n)
     assert num_frames % (32 * n) == 0, (num_frames, n)
 
+    if norm == "BN" and not batch_stats:
+        raise ValueError("norm='BN' needs the generator's batch_stats "
+                         "(running mean/var) for eval-mode BatchNorm")
     mel_sh = jax.device_put(jnp.asarray(mel),
                             NamedSharding(mesh, P(None, None, AXIS)))
     run = _build_seq_forward(mesh, t_mel, num_frames, code is not None,
-                             leaky, num_landmarks)
-    args = (params, mel_sh) + (() if code is None else (jnp.asarray(code),))
+                             leaky, num_landmarks, norm)
+    args = (params, batch_stats or {}, mel_sh) + (
+        () if code is None else (jnp.asarray(code),))
     return run(*args)

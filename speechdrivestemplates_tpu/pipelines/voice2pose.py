@@ -621,11 +621,6 @@ class Voice2Pose(Trainer):
         MAX_DEMO_LENGTH; DEMO.WINDOWED approximates per-window IN stats)."""
         from ..parallel.seqparallel import generator_seq_parallel
 
-        if self.cfg.VOICE2POSE.GENERATOR.NORM != "IN":
-            raise NotImplementedError(
-                "DEMO.SEQUENCE_PARALLEL supports the IN-norm generators "
-                "(sdt_bp / sdt_vae); use DEMO.WINDOWED for NORM="
-                f"{self.cfg.VOICE2POSE.GENERATOR.NORM!r}")
         if self.has_code and self.cfg.VOICE2POSE.GENERATOR.CLIP_CODE.FRAME_VARIANT:
             raise NotImplementedError(
                 "DEMO.SEQUENCE_PARALLEL does not support FRAME_VARIANT clip "
@@ -646,7 +641,9 @@ class Voice2Pose(Trainer):
         pred = generator_seq_parallel(
             self.mesh, self.state["params_g"], mel, t_pad, code_np,
             leaky=self.cfg.VOICE2POSE.GENERATOR.LEAKY_RELU,
-            num_landmarks=self.cfg.DATASET.NUM_LANDMARKS)
+            num_landmarks=self.cfg.DATASET.NUM_LANDMARKS,
+            norm=self.cfg.VOICE2POSE.GENERATOR.NORM,
+            batch_stats=self.state.get("batch_stats_g") or None)
         pred = jnp.asarray(np.asarray(pred)[:, :num_frames])
         final = self._final_results(batch, pred)
         return {"poses_pred_batch": np.asarray(final),

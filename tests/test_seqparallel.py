@@ -139,3 +139,35 @@ def test_seq_parallel_demo_pipeline(mesh8, tmp_path):
                                 t_pad, code, False)[:, :num_frames]
     pred_dense = np.asarray(pipe._final_results(batch, pred))
     np.testing.assert_allclose(pred_seq, pred_dense, rtol=2e-4, atol=0.05)
+
+
+@pytest.mark.slow
+def test_seq_parallel_matches_dense_bn(mesh8):
+    """s2g-style generator (NORM='BN', no clip code): the seq-parallel forward
+    must match the dense eval forward — BN-eval is a local running-stat affine
+    per shard."""
+    from speechdrivestemplates_tpu.config import get_cfg_defaults
+    from speechdrivestemplates_tpu.models import build_model
+
+    cfg = get_cfg_defaults()
+    cfg.VOICE2POSE.GENERATOR.NORM = "BN"
+    cfg.VOICE2POSE.GENERATOR.CLIP_CODE.DIMENSION = None
+    cfg.freeze()
+    gen = build_model("SequenceGeneratorCNN", cfg)
+
+    T, t_mel = 256, 1600
+    rng = np.random.RandomState(1)
+    mel = (rng.randn(1, 80, t_mel) * 2).astype(np.float32)
+    variables = gen.init(jax.random.PRNGKey(0), jnp.asarray(mel), T, None, True)
+    # randomize the running stats so BN-eval is a real test
+    bs = jax.tree.map(
+        lambda a: jnp.asarray(rng.uniform(0.5, 1.5, a.shape), a.dtype),
+        variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": bs}
+
+    dense = np.asarray(gen.apply(variables, jnp.asarray(mel), T, None, False))
+    sharded = np.asarray(generator_seq_parallel(
+        mesh8, variables["params"], mel, T, None,
+        leaky=cfg.VOICE2POSE.GENERATOR.LEAKY_RELU, norm="BN",
+        batch_stats=variables["batch_stats"]))
+    np.testing.assert_allclose(sharded, dense, rtol=2e-4, atol=2e-4)
