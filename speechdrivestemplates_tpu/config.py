@@ -344,7 +344,7 @@ def _build_defaults() -> CfgNode:
     _C.SYS.MESH.DATA = -1  # -1: use all local devices on the 'data' axis
     _C.SYS.SEED = 0
     _C.TRAIN.PRECISION = "fp32"  # 'fp32' | 'bf16' (compute dtype for conv stacks)
-    _C.SYS.MEL_IMPL = "auto"  # 'auto' | 'dft' | 'rfft' | 'conv' | 'pallas'
+    _C.SYS.MEL_IMPL = "auto"  # 'auto' | 'dft' | 'dft2' | 'rfft' | 'conv' | 'pallas'
     _C.SYS.PROFILE = CfgNode()
     _C.SYS.PROFILE.ENABLED = False
     _C.SYS.PROFILE.START_STEP = 10   # global step to start the jax.profiler trace

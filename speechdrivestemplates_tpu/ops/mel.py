@@ -4,16 +4,24 @@ n_mels=80)`` as used by the reference (``core/pipelines/voice2pose.py:27-30``):
 periodic Hann window (zero-padded symmetrically to n_fft), center=True with reflect
 padding, power-2 spectrogram, HTK mel scale, no filterbank normalization.
 
-Two device paths behind one signature:
+Device paths behind one signature:
   - ``impl='rfft'``  — jnp.fft.rfft reference path (used for parity tests).
-  - ``impl='dft'``   — framing + two real-DFT matmuls + mel matmul.  On TPU this puts
-    all the FLOPs on the MXU (128x128 systolic array) instead of the FFT's scalar-ish
-    butterfly network, and XLA fuses the window multiply and |.|^2 elementwise ops into
-    the matmul epilogues.  n_fft=512, n_freq=257, n_mel=80 are small enough that the
-    DFT matrices live in VMEM across the whole batch.
+  - ``impl='dft'``   — framing + two real-DFT matmuls + mel matmul at fp32-exact
+    precision (HIGHEST).  On TPU this puts all the FLOPs on the MXU (128x128 systolic
+    array) instead of the FFT's scalar-ish butterfly network, and XLA fuses the window
+    multiply and |.|^2 elementwise ops into the matmul epilogues.
+  - ``impl='dft2'``  — the serving-tuned variant (measured fastest on v5e at every
+    batch size): the cos and sin DFT matrices are CONCATENATED and TRIMMED to the
+    frequency bins the mel filterbank actually touches (bins 2..239 for the
+    reference's f_max=7500 < Nyquist), giving one zero-padding-waste (512, 512) MXU
+    pass, run at ``Precision.HIGH`` (bf16x3 operand splitting inside the fused
+    matmul — no extra HBM traffic, ~2e-5 relative error end to end).  Exact in the
+    trim: the dropped bins have identically-zero filter weight.
 
 The fused single-kernel Pallas version lives in ``mel_pallas.py`` and is dispatched by
-``mel_spectrogram(impl='pallas')``.
+``mel_spectrogram(impl='pallas')``; it keeps the frame matrix out of HBM entirely but
+its in-VMEM granule shuffle is VPU-bound, so on v5e the dft2 matmul path wins
+(0.59 ms vs 2.8 ms for batch-128 x 4.27 s clips; see docs/STATUS_r2.md).
 """
 
 from __future__ import annotations
@@ -117,8 +125,8 @@ def mel_spectrogram(audio: jnp.ndarray,
     matching torchaudio.transforms.MelSpectrogram with the reference's parameters.
     """
     if impl == "auto":
-        # fused Pallas kernel on TPU; MXU DFT-matmul everywhere else
-        impl = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "dft"
+        # trimmed combined-DFT matmul at bf16x3 on TPU; fp32 DFT-matmul elsewhere
+        impl = "dft2" if jax.default_backend() not in ("cpu", "gpu") else "dft"
     if impl == "pallas":
         from .mel_pallas import mel_spectrogram_pallas
 
@@ -130,7 +138,7 @@ def mel_spectrogram(audio: jnp.ndarray,
                          f_min, f_max)
 
     window = jnp.asarray(_window_np(win_length, n_fft))
-    fb = jnp.asarray(_mel_filterbank_np(sr, n_fft, n_mels, f_min, f_max))
+    fb_np = _mel_filterbank_np(sr, n_fft, n_mels, f_min, f_max)
     frames = _frame_signal(audio, n_fft, hop_length) * window  # (..., T, n_fft)
 
     # fp32 MXU passes: bf16 default matmul precision is too coarse for a power
@@ -144,11 +152,30 @@ def mel_spectrogram(audio: jnp.ndarray,
         re = jnp.matmul(frames, jnp.asarray(cos_m), precision=hi)
         im = jnp.matmul(frames, jnp.asarray(sin_m), precision=hi)
         power = re * re + im * im
+    elif impl == "dft2":
+        k_used = _trimmed_bins(fb_np)  # exact: dropped bins have zero mel weight
+        cos_m, sin_m = _dft_matrices_np(n_fft)
+        cs = jnp.asarray(np.concatenate(
+            [cos_m[:, :k_used], sin_m[:, :k_used]], axis=1))
+        p = jax.lax.Precision.HIGH  # bf16x3 operand split inside the fused matmul
+        reim = jnp.matmul(frames, cs, precision=p)
+        power = reim[..., :k_used] ** 2 + reim[..., k_used:] ** 2
+        mel = jnp.matmul(power, jnp.asarray(fb_np[:k_used]), precision=p)
+        return jnp.swapaxes(mel, -1, -2)
     else:
         raise ValueError(f"unknown mel impl: {impl}")
 
-    mel = jnp.matmul(power, fb, precision=hi)  # (..., T, n_mels)
+    mel = jnp.matmul(power, jnp.asarray(fb_np), precision=hi)  # (..., T, n_mels)
     return jnp.swapaxes(mel, -1, -2)  # (..., n_mels, T)
+
+
+def _trimmed_bins(fb_np: np.ndarray) -> int:
+    """Smallest 128-multiple (for exact MXU lane tiling) covering every frequency
+    bin with nonzero mel filter weight; falls back to the full bin count when the
+    filterbank reaches Nyquist."""
+    support = int(np.flatnonzero(fb_np.any(axis=1)).max()) + 1
+    k = -(-support // 128) * 128
+    return min(k, fb_np.shape[0])
 
 
 def _mel_conv(audio: jnp.ndarray, sr, n_fft, win_length, hop_length, n_mels,

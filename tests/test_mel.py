@@ -49,7 +49,7 @@ def test_filterbank_matches_torchaudio_formula():
                                rtol=1e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize("impl", ["rfft", "dft"])
+@pytest.mark.parametrize("impl", ["rfft", "dft", "dft2"])
 def test_mel_matches_torch_stft(impl, rng):
     audio = rng.randn(2, 16000).astype(np.float32) * 0.1
     ours = np.asarray(M.mel_spectrogram(audio, impl=impl))
@@ -70,6 +70,17 @@ def test_dft_equals_rfft(rng):
     a = np.asarray(M.mel_spectrogram(audio, impl="rfft"))
     b = np.asarray(M.mel_spectrogram(audio, impl="dft"))
     np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
+
+
+def test_dft2_trim_is_exact(rng):
+    """dft2's frequency-bin trim drops only zero-weight filterbank rows, so it
+    must agree with the untrimmed path to matmul round-off (on CPU, where
+    Precision.HIGH is native fp32, the two are numerically equivalent)."""
+    assert M._trimmed_bins(M.mel_filterbank()) == 256
+    audio = rng.randn(2, 8000).astype(np.float32)
+    a = np.asarray(M.mel_spectrogram(audio, impl="dft"))
+    b = np.asarray(M.mel_spectrogram(audio, impl="dft2"))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
 def test_sine_peak_location():
