@@ -345,6 +345,10 @@ def _build_defaults() -> CfgNode:
     _C.SYS.SEED = 0
     _C.TRAIN.PRECISION = "fp32"  # 'fp32' | 'bf16' (compute dtype for conv stacks)
     _C.SYS.MEL_IMPL = "auto"  # 'auto' | 'dft' | 'dft2' | 'rfft' | 'conv' | 'pallas'
+    # Fused Pallas audio-encoder stem on the inference path (ops/stem_pallas.py).
+    # Hardware-validated but measured SLOWER than XLA's conv lowering at the
+    # batch-128 serving point (see the module docstring) — default off.
+    _C.SYS.FUSED_STEM = False
     _C.SYS.PROFILE = CfgNode()
     _C.SYS.PROFILE.ENABLED = False
     _C.SYS.PROFILE.START_STEP = 10   # global step to start the jax.profiler trace

@@ -24,27 +24,45 @@ from .blocks import ConvNormRelu
 
 class AudioEncoder(nn.Module):
     """2D CNN over the mel spectrogram, resampled to the video frame rate
-    (reference generator.py:8-43)."""
+    (reference generator.py:8-43).
+
+    ``stem_weights`` (inference only): the first three conv kernels, passed by
+    the caller to route layers 1-3 through the fused Pallas stem kernel
+    (ops/stem_pallas.py) instead of the HBM-bound XLA lowering.  Layer names
+    are pinned explicitly so the parameter tree is identical on both paths.
+    """
 
     norm: str = "IN"
     leaky: bool = True
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, mel: jnp.ndarray, num_frames: int, train: bool = True) -> jnp.ndarray:
-        # mel: (B, n_mels, T_mel) -> NHWC
-        x = mel[..., None]
-        cnr = lambda ch, **kw: ConvNormRelu(  # noqa: E731
+    def __call__(self, mel: jnp.ndarray, num_frames: int, train: bool = True,
+                 stem_weights=None) -> jnp.ndarray:
+        cnr = lambda i, ch, **kw: ConvNormRelu(  # noqa: E731
             conv_type="2d", out_channels=ch, norm=self.norm, leaky=self.leaky,
-            dtype=self.dtype, **kw)
-        x = cnr(64)(x, train)
-        x = cnr(64, downsample=True)(x, train)
-        x = cnr(128)(x, train)
-        x = cnr(128, downsample=True)(x, train)
-        x = cnr(256)(x, train)
-        x = cnr(256, downsample=True)(x, train)
-        x = cnr(256)(x, train)
-        x = cnr(256, kernel_size=(6, 3), stride=1, padding=0)(x, train)
+            dtype=self.dtype, name=f"ConvNormRelu_{i}", **kw)
+        specs = [dict(ch=64), dict(ch=64, downsample=True),
+                 dict(ch=128), dict(ch=128, downsample=True),
+                 dict(ch=256), dict(ch=256, downsample=True),
+                 dict(ch=256), dict(ch=256, kernel_size=(6, 3), stride=1, padding=0)]
+        if stem_weights is not None:
+            assert not train, "fused stem is an inference-only path"
+            assert self.norm == "IN", "fused stem covers IN-normalized encoders"
+            from ..ops.stem_pallas import fused_audio_encoder_stem
+
+            x = fused_audio_encoder_stem(
+                mel, *stem_weights, slope=0.2 if self.leaky else 0.0,
+                dtype=self.dtype or jnp.float32)
+            start = 3
+        else:
+            # mel: (B, n_mels, T_mel) -> NHWC
+            x = mel[..., None]
+            start = 0
+        for i in range(start, 8):
+            kw = dict(specs[i])
+            ch = kw.pop("ch")
+            x = cnr(i, ch, **kw)(x, train)
         # (B, H', W', 256) -> bilinear to (1, num_frames) -> (B, num_frames, 256)
         x = interpolate_bilinear(x, (1, num_frames))
         return x[:, 0, :, :]
@@ -90,9 +108,11 @@ class SequenceGeneratorCNN(nn.Module):
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray, num_frames: int,
-                 code: Optional[jnp.ndarray] = None, train: bool = True) -> jnp.ndarray:
+                 code: Optional[jnp.ndarray] = None, train: bool = True,
+                 stem_weights=None) -> jnp.ndarray:
         x = AudioEncoder(norm=self.norm, leaky=self.leaky, dtype=self.dtype,
-                         name="audio_encoder")(mel, num_frames, train)
+                         name="audio_encoder")(mel, num_frames, train,
+                                               stem_weights=stem_weights)
 
         if self.code_dim is not None:
             # code: (B, code_dim) broadcast over time, or (B, code_dim, T) frame-variant

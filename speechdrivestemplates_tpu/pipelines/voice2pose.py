@@ -227,7 +227,23 @@ class Voice2Pose(Trainer):
             out, updates = self.generator.apply(
                 variables, mel, num_frames, code, True, mutable=["batch_stats"])
             return out, updates["batch_stats"]
-        return self.generator.apply(variables, mel, num_frames, code, train), batch_stats
+        return self.generator.apply(
+            variables, mel, num_frames, code, train,
+            stem_weights=None if train else self._stem_weights(
+                params, mel.shape[-1])), batch_stats
+
+    def _stem_weights(self, params_g, t_mel: int):
+        """Conv kernels for the fused Pallas stem (inference only), or None when
+        the configuration/backend/width is outside the kernel's envelope."""
+        if not self.cfg.SYS.FUSED_STEM:
+            return None
+        from ..ops.stem_pallas import stem_supported, stem_weights_from_params
+
+        dtype = (jnp.bfloat16 if self.cfg.TRAIN.PRECISION == "bf16"
+                 else jnp.float32)
+        if not stem_supported(t_mel, self.cfg.VOICE2POSE.GENERATOR.NORM, dtype):
+            return None
+        return stem_weights_from_params(params_g)
 
     def _apply_disc(self, params, batch_stats, poses, train):
         variables = {"params": params}
