@@ -6,6 +6,10 @@ Prints ONE JSON line:
 vs_baseline is against the north-star floor of 1000 pose-frames/sec/chip
 (BASELINE.json; the reference publishes no numbers — see BASELINE.md).
 Also prints auxiliary lines (train step rate) to stderr for humans.
+
+NOTE: run with the chip otherwise idle — device execution is in-order, so a
+concurrent TPU process inflates every measurement (a contended run once
+recorded 751k frames/s where exclusive runs reproduce ~871k).
 """
 
 from __future__ import annotations
