@@ -98,3 +98,38 @@ def test_stem_supported_gates():
     assert not SP.stem_supported(4, "IN", jnp.bfloat16)
     assert not SP.stem_supported(SP.MAX_W1 + 1, "IN", jnp.bfloat16)
     assert not SP.stem_supported(427, "IN", jnp.float32)
+
+
+def test_pipeline_stem_gate(monkeypatch):
+    """Voice2Pose._stem_weights gates on config, precision, width, backend."""
+    import os
+
+    from speechdrivestemplates_tpu.config import get_cfg_defaults
+    from speechdrivestemplates_tpu.pipelines import get_pipeline
+
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(os.path.join(os.path.dirname(__file__), "..",
+                                     "configs", "voice2pose_sdt_bp.yaml"))
+    cfg.DATASET.SPEAKER = "oliver"
+    cfg.TRAIN.PRECISION = "bf16"
+    cfg.SYS.FUSED_STEM = True
+    cfg.freeze()
+    pipe = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
+    fake = {"audio_encoder": {f"ConvNormRelu_{i}": {"conv": {"kernel": i}}
+                              for i in range(3)}}
+
+    monkeypatch.setattr(SP, "_FORCE_INTERPRET", True)  # emulate a TPU backend
+    assert pipe._stem_weights(fake, 427) == (0, 1, 2)
+    assert pipe._stem_weights(fake, SP.MAX_W1 + 100) is None  # too wide
+    assert pipe._stem_weights({"other": 1}, 427) is None      # foreign tree
+
+    cfg2 = cfg.clone()
+    cfg2.defrost()
+    cfg2.SYS.FUSED_STEM = False
+    cfg2.freeze()
+    assert get_pipeline(cfg2.PIPELINE_TYPE)(cfg2)._stem_weights(fake, 427) is None
+    cfg3 = cfg.clone()
+    cfg3.defrost()
+    cfg3.TRAIN.PRECISION = "fp32"
+    cfg3.freeze()
+    assert get_pipeline(cfg3.PIPELINE_TYPE)(cfg3)._stem_weights(fake, 427) is None
