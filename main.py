@@ -37,6 +37,11 @@ def setup_config():
                         help="the checkpoint to test with")
     parser.add_argument("--tag", type=str, default="",
                         help="tag for the experiment")
+    parser.add_argument("--export", type=str, default=None, metavar="PATH",
+                        help="AOT-export the wav->pose serving function "
+                             "(weights + speaker stats baked in) to PATH as a "
+                             "serialized StableHLO artifact; requires "
+                             "--checkpoint (see utils/export.py)")
     parser.add_argument(
         "opts",
         help="Modify config options using the command-line",
@@ -63,7 +68,14 @@ def run(args, cfg):
     pipeline = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
 
     cfg_name = args.config_file.split("/")[-1].split(".")[0]
-    if args.demo_input:
+    if args.export:
+        from speechdrivestemplates_tpu.utils.export import export_serving_fn
+
+        assert args.checkpoint, "--export requires --checkpoint"
+        meta = export_serving_fn(cfg, args.checkpoint, args.export)
+        print(f"exported {meta['bytes']} bytes to {args.export} "
+              f"({meta['inputs']} -> {meta['output']})")
+    elif args.demo_input:
         exp_tag = cfg_name + "-DEMO-" + args.tag
         pipeline.demo(cfg, exp_tag, args.checkpoint, args.demo_input)
     elif args.test_only:
