@@ -295,6 +295,9 @@ def _build_defaults() -> CfgNode:
     _C.TRAIN.WD = 0
     _C.TRAIN.LR_SCHEDULER = True
     _C.TRAIN.PRETRAIN_FROM = None
+    # restartable (preemptible) jobs: resume from this tag's newest checkpoint
+    # automatically when no --resume_from is given (see Trainer.find_auto_resume)
+    _C.TRAIN.AUTO_RESUME = False
     _C.TRAIN.VALIDATE = True
     _C.TRAIN.NUM_RESULT_SAMPLE = 2
     _C.TRAIN.CHECKPOINT_INTERVAL = 1  # epochs between checkpoint saves

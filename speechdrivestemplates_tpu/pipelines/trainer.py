@@ -231,6 +231,34 @@ class Trainer:
         return os.path.join(cand, max(entries, key=key))
 
     @staticmethod
+    def find_auto_resume(root: str, exp_tag: str) -> Optional[str]:
+        """Newest checkpoint across every experiment directory created for this
+        ``exp_tag`` (dirs are named ``<datetime>_<exp_tag>``), or None when no
+        prior run left one.  Powers ``TRAIN.AUTO_RESUME`` — the restart story
+        for preemptible jobs (the reference's recovery is a manual
+        ``--resume_from``, reference trainer.py:172-184)."""
+        if not os.path.isdir(root):
+            return None
+        best = None
+        for d in sorted(os.listdir(root)):
+            if not d.endswith("_" + exp_tag):
+                continue
+            ckdir = os.path.join(root, d, "checkpoints")
+            if not os.path.isdir(ckdir):
+                continue
+            for e in os.listdir(ckdir):
+                if not e.startswith("checkpoint_"):
+                    continue
+                try:
+                    key = (int(e.split("epoch-")[1].split("_")[0]),
+                           int(e.split("step-")[1]))
+                except (IndexError, ValueError):
+                    continue
+                if best is None or key > best[0]:
+                    best = (key, os.path.join(ckdir, e))
+        return best[1] if best else None
+
+    @staticmethod
     def load_checkpoint_tree(path: str) -> Dict[str, Any]:
         import orbax.checkpoint as ocp
 
@@ -246,6 +274,12 @@ class Trainer:
                          demo_input: Optional[str] = None):
         if self.is_master_process():
             print("Setting up base directory...")
+        if is_training and resume_from is None and self.cfg.TRAIN.AUTO_RESUME:
+            # restartable (preemptible) jobs: pick up this tag's newest
+            # checkpoint automatically instead of requiring --resume_from
+            resume_from = self.find_auto_resume(self.cfg.SYS.OUTPUT_DIR, exp_tag)
+            if resume_from and self.is_master_process():
+                print("AUTO_RESUME: continuing from %s" % resume_from)
         dt = str(datetime.now()).replace(".", "-").replace(":", "-").replace(" ", "_")
         exp_tag = "_".join([dt, exp_tag])
 

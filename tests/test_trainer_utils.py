@@ -100,3 +100,27 @@ def test_resolve_checkpoint_raises_when_empty(tmp_path):
     (tmp_path / "checkpoints").mkdir()
     with pytest.raises(FileNotFoundError, match="no checkpoint_"):
         Trainer.resolve_checkpoint(str(tmp_path))
+
+
+def test_find_auto_resume(tmp_path):
+    tag = "voice2pose_sdt_bp-TRAIN-oliver"
+    # two prior runs for this tag + one for a different tag
+    for dt, pairs in [("2026-01-01_a", [(1, 10), (2, 20)]),
+                      ("2026-01-02_b", [(3, 30)])]:
+        ck = tmp_path / f"{dt}_{tag}" / "checkpoints"
+        ck.mkdir(parents=True)
+        for e, s in pairs:
+            (ck / f"checkpoint_epoch-{e}_step-{s}").mkdir()
+    other = tmp_path / f"2026-01-03_c_{tag}x" / "checkpoints"
+    other.mkdir(parents=True)
+    (other / "checkpoint_epoch-99_step-990").mkdir()
+
+    found = Trainer.find_auto_resume(str(tmp_path), tag)
+    assert found is not None and found.endswith("checkpoint_epoch-3_step-30")
+    # no prior runs -> None (fresh start, not an error)
+    assert Trainer.find_auto_resume(str(tmp_path), "unknown-tag") is None
+    assert Trainer.find_auto_resume(str(tmp_path / "missing"), tag) is None
+    # a run dir without checkpoints must not break the scan
+    (tmp_path / f"2026-01-04_d_{tag}").mkdir()
+    assert Trainer.find_auto_resume(str(tmp_path), tag).endswith(
+        "checkpoint_epoch-3_step-30")
