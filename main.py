@@ -42,6 +42,11 @@ def setup_config():
                              "(weights + speaker stats baked in) to PATH as a "
                              "serialized StableHLO artifact; requires "
                              "--checkpoint (see utils/export.py)")
+    parser.add_argument("--export_platforms", type=str, default="cpu,tpu",
+                        help="comma-separated lowering platforms baked into "
+                             "the --export artifact (an artifact can only be "
+                             "called on a platform it was lowered for); "
+                             "'native' locks it to this host's backend")
     parser.add_argument(
         "opts",
         help="Modify config options using the command-line",
@@ -72,9 +77,13 @@ def run(args, cfg):
         from speechdrivestemplates_tpu.utils.export import export_serving_fn
 
         assert args.checkpoint, "--export requires --checkpoint"
-        meta = export_serving_fn(cfg, args.checkpoint, args.export)
+        platforms = (None if args.export_platforms == "native"
+                     else tuple(args.export_platforms.split(",")))
+        meta = export_serving_fn(cfg, args.checkpoint, args.export,
+                                 platforms=platforms, pipeline=pipeline)
         print(f"exported {meta['bytes']} bytes to {args.export} "
-              f"({meta['inputs']} -> {meta['output']})")
+              f"(platforms {meta['platforms']}, {meta['inputs']} -> "
+              f"{meta['output']})")
     elif args.demo_input:
         exp_tag = cfg_name + "-DEMO-" + args.tag
         pipeline.demo(cfg, exp_tag, args.checkpoint, args.demo_input)

@@ -203,6 +203,16 @@ class Trainer:
         ckptr.wait_until_finished()
 
     @staticmethod
+    def _checkpoint_key(name: str):
+        """(epoch, step) parsed from a ``checkpoint_epoch-E_step-S`` name;
+        (-1, -1) for anything unparseable (sorts last)."""
+        try:
+            return (int(name.split("epoch-")[1].split("_")[0]),
+                    int(name.split("step-")[1]))
+        except (IndexError, ValueError):
+            return (-1, -1)
+
+    @staticmethod
     def resolve_checkpoint(path: str) -> str:
         """Accept a checkpoint dir, an experiment dir, or a checkpoints/ dir and
         return the newest checkpoint (latest (epoch, step) parsed from the name).
@@ -219,27 +229,18 @@ class Trainer:
                 f"no checkpoint_* entries under {cand!r} (from {path!r}); "
                 "pass a checkpoint directory, an experiment directory, or a "
                 "checkpoints/ directory")
-
-        def key(name: str):
-            try:
-                epoch = int(name.split("epoch-")[1].split("_")[0])
-                step = int(name.split("step-")[1])
-                return (epoch, step)
-            except (IndexError, ValueError):
-                return (-1, -1)
-
-        return os.path.join(cand, max(entries, key=key))
+        return os.path.join(cand, max(entries, key=Trainer._checkpoint_key))
 
     @staticmethod
-    def find_auto_resume(root: str, exp_tag: str) -> Optional[str]:
-        """Newest checkpoint across every experiment directory created for this
-        ``exp_tag`` (dirs are named ``<datetime>_<exp_tag>``), or None when no
-        prior run left one.  Powers ``TRAIN.AUTO_RESUME`` — the restart story
-        for preemptible jobs (the reference's recovery is a manual
-        ``--resume_from``, reference trainer.py:172-184)."""
+    def find_auto_resume_candidates(root: str, exp_tag: str) -> list:
+        """Every checkpoint across every experiment directory created for this
+        ``exp_tag`` (dirs are named ``<datetime>_<exp_tag>``), newest
+        (epoch, step) first.  Callers try them in order so a truncated save
+        (non-atomic filesystem + preemption mid-write) falls back to the
+        previous good checkpoint instead of crash-looping."""
         if not os.path.isdir(root):
-            return None
-        best = None
+            return []
+        found = []
         for d in sorted(os.listdir(root)):
             if not d.endswith("_" + exp_tag):
                 continue
@@ -247,16 +248,20 @@ class Trainer:
             if not os.path.isdir(ckdir):
                 continue
             for e in os.listdir(ckdir):
-                if not e.startswith("checkpoint_"):
-                    continue
-                try:
-                    key = (int(e.split("epoch-")[1].split("_")[0]),
-                           int(e.split("step-")[1]))
-                except (IndexError, ValueError):
-                    continue
-                if best is None or key > best[0]:
-                    best = (key, os.path.join(ckdir, e))
-        return best[1] if best else None
+                if (e.startswith("checkpoint_")
+                        and Trainer._checkpoint_key(e) >= (0, 0)):
+                    found.append((Trainer._checkpoint_key(e),
+                                  os.path.join(ckdir, e)))
+        return [p for _, p in sorted(found, reverse=True)]
+
+    @staticmethod
+    def find_auto_resume(root: str, exp_tag: str) -> Optional[str]:
+        """Newest checkpoint for this ``exp_tag``, or None when no prior run
+        left one.  Powers ``TRAIN.AUTO_RESUME`` — the restart story for
+        preemptible jobs (the reference's recovery is a manual
+        ``--resume_from``, reference trainer.py:172-184)."""
+        cands = Trainer.find_auto_resume_candidates(root, exp_tag)
+        return cands[0] if cands else None
 
     @staticmethod
     def load_checkpoint_tree(path: str) -> Dict[str, Any]:
@@ -276,8 +281,24 @@ class Trainer:
             print("Setting up base directory...")
         if is_training and resume_from is None and self.cfg.TRAIN.AUTO_RESUME:
             # restartable (preemptible) jobs: pick up this tag's newest
-            # checkpoint automatically instead of requiring --resume_from
-            resume_from = self.find_auto_resume(self.cfg.SYS.OUTPUT_DIR, exp_tag)
+            # RESTORABLE checkpoint automatically instead of requiring
+            # --resume_from.  A preemption mid-save on a non-atomic filesystem
+            # (gcsfuse/NFS) can leave a final-named but truncated checkpoint;
+            # probing with a real restore and falling back to the next-newest
+            # one keeps the restart loop alive instead of crash-looping on it.
+            for cand in self.find_auto_resume_candidates(
+                    self.cfg.SYS.OUTPUT_DIR, exp_tag):
+                try:
+                    # cache the probe so the resume branch below doesn't
+                    # restore the same tree a second time
+                    self._probed_checkpoint = (cand, self.load_checkpoint_tree(cand))
+                except Exception as exc:  # noqa: BLE001 — any restore failure
+                    if self.is_master_process():
+                        print("AUTO_RESUME: skipping unrestorable checkpoint "
+                              "%s (%s)" % (cand, exc))
+                    continue
+                resume_from = cand
+                break
             if resume_from and self.is_master_process():
                 print("AUTO_RESUME: continuing from %s" % resume_from)
         dt = str(datetime.now()).replace(".", "-").replace(":", "-").replace(" ", "_")
@@ -291,7 +312,12 @@ class Trainer:
                 resume_from = self.resolve_checkpoint(resume_from)
                 if self.is_master_process():
                     print("Resuming from checkpoint: %s" % resume_from)
-                tree = self.load_checkpoint_tree(resume_from)
+                probed = getattr(self, "_probed_checkpoint", None)
+                if probed is not None and probed[0] == resume_from:
+                    tree = probed[1]
+                    self._probed_checkpoint = None
+                else:
+                    tree = self.load_checkpoint_tree(resume_from)
                 epoch = int(tree["epoch"])
                 global_step = int(tree["step"])
                 # reuse the original experiment dir (reference trainer.py:178-180)

@@ -237,6 +237,11 @@ class Voice2Pose(Trainer):
         the configuration/backend/width is outside the kernel's envelope."""
         if not self.cfg.SYS.FUSED_STEM:
             return None
+        if self.mesh is not None and self.mesh.size > 1:
+            # pallas_call cannot be auto-partitioned: under a >1-device data
+            # mesh the eval step's batch is sharded and embedding the kernel
+            # would fail to compile (or silently gather). Use the XLA path.
+            return None
         from ..ops.stem_pallas import stem_supported, stem_weights_from_params
 
         dtype = (jnp.bfloat16 if self.cfg.TRAIN.PRECISION == "bf16"

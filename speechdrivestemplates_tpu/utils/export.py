@@ -21,15 +21,16 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-def build_serving_fn(cfg, params_g, batch_stats_g) -> Callable:
-    """A pure ``fn(audio[, code]) -> poses`` closure over the given weights.
+def build_serving_fn(cfg, params_g, batch_stats_g) -> Tuple[Callable, bool]:
+    """``(fn, has_code)``: a pure ``fn(audio[, code]) -> poses`` closure over
+    the given weights, plus whether the model takes a template code input.
 
     audio: (B, audio_length) float32 waveform at 16 kHz;
     code:  (B, code_dim) float32 template code (omitted for code-free models);
@@ -75,8 +76,18 @@ def build_serving_fn(cfg, params_g, batch_stats_g) -> Callable:
 def export_serving_fn(cfg, checkpoint: str, out_path: str,
                       batch_size: int = 1,
                       audio_length: Optional[int] = None,
-                      platforms: Optional[tuple] = None) -> dict:
+                      platforms: Optional[tuple] = ("cpu", "tpu"),
+                      pipeline=None) -> dict:
     """Load ``checkpoint`` and write the serialized serving artifact.
+
+    ``platforms`` defaults to ``("cpu", "tpu")`` so the artifact is portable
+    regardless of which host ran the export (jax.export locks the artifact to
+    the lowering platforms; exporting TPU-only from a TPU trainer would make
+    it uncallable on a CPU serving box).  Pass ``None`` to lock it to the
+    exporting host's backend, or an explicit tuple to choose.
+
+    ``pipeline`` reuses an already-constructed Voice2Pose pipeline (e.g. the
+    one ``main.py`` built); omitted, one is created from ``cfg``.
 
     Returns the sidecar metadata dict (also written to ``<out_path>.json``).
     """
@@ -84,7 +95,7 @@ def export_serving_fn(cfg, checkpoint: str, out_path: str,
 
     assert cfg.PIPELINE_TYPE == "Voice2Pose", (
         "serving export is the wav->pose path; Pose2Pose has no audio input")
-    pipe = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
+    pipe = pipeline if pipeline is not None else get_pipeline(cfg.PIPELINE_TYPE)(cfg)
     # no dataset at export time: the clip-code bank's size comes from the
     # checkpoint itself (it only shapes the bank; serving passes codes in)
     tree = pipe.load_checkpoint_tree(checkpoint)

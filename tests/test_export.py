@@ -54,6 +54,9 @@ def test_export_round_trip(rng):
             side = json.load(f)
         assert side["code_dim"] == 32 and side["batch_size"] == 2
         assert side["audio_length"] == cfg.DATASET.AUDIO_LENGTH
+        # the default export is portable: lowered for BOTH cpu and tpu, so an
+        # artifact exported on the TPU trainer runs on a CPU serving box
+        assert set(side["platforms"]) >= {"cpu", "tpu"}
 
         audio = jnp.asarray(
             rng.randn(2, cfg.DATASET.AUDIO_LENGTH).astype(np.float32) * 0.1)

@@ -113,6 +113,7 @@ def test_pipeline_stem_gate(monkeypatch):
     cfg.DATASET.SPEAKER = "oliver"
     cfg.TRAIN.PRECISION = "bf16"
     cfg.SYS.FUSED_STEM = True
+    cfg.SYS.MESH.DATA = 1  # pallas_call can't be auto-partitioned over a mesh
     cfg.freeze()
     pipe = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
     fake = {"audio_encoder": {f"ConvNormRelu_{i}": {"conv": {"kernel": i}}
@@ -133,3 +134,11 @@ def test_pipeline_stem_gate(monkeypatch):
     cfg3.TRAIN.PRECISION = "fp32"
     cfg3.freeze()
     assert get_pipeline(cfg3.PIPELINE_TYPE)(cfg3)._stem_weights(fake, 427) is None
+    # >1-device data mesh: the eval batch is sharded, so the kernel must be
+    # gated off (Mosaic kernels don't participate in automatic partitioning)
+    cfg4 = cfg.clone()
+    cfg4.defrost()
+    cfg4.SYS.MESH.DATA = -1  # all 8 virtual devices under the test conftest
+    cfg4.freeze()
+    pipe4 = get_pipeline(cfg4.PIPELINE_TYPE)(cfg4)
+    assert pipe4.mesh.size > 1 and pipe4._stem_weights(fake, 427) is None

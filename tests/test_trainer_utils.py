@@ -124,3 +124,68 @@ def test_find_auto_resume(tmp_path):
     (tmp_path / f"2026-01-04_d_{tag}").mkdir()
     assert Trainer.find_auto_resume(str(tmp_path), tag).endswith(
         "checkpoint_epoch-3_step-30")
+
+
+def test_find_auto_resume_candidates_order(tmp_path):
+    tag = "p-TRAIN-t"
+    for dt, pairs in [("2026-01-01_a", [(1, 10), (3, 30)]),
+                      ("2026-01-02_b", [(2, 20)])]:
+        ck = tmp_path / f"{dt}_{tag}" / "checkpoints"
+        ck.mkdir(parents=True)
+        for e, s in pairs:
+            (ck / f"checkpoint_epoch-{e}_step-{s}").mkdir()
+    # unparseable names must not be offered as candidates
+    (tmp_path / f"2026-01-01_a_{tag}" / "checkpoints"
+     / "checkpoint_garbage").mkdir()
+
+    cands = Trainer.find_auto_resume_candidates(str(tmp_path), tag)
+    suffixes = [os.path.basename(c) for c in cands]
+    assert suffixes == ["checkpoint_epoch-3_step-30",
+                       "checkpoint_epoch-2_step-20",
+                       "checkpoint_epoch-1_step-10"]
+
+
+@pytest.mark.slow
+def test_auto_resume_skips_corrupt_checkpoint(tmp_path):
+    """A preemption mid-save can leave a final-named but unrestorable
+    checkpoint dir (non-atomic rename filesystems); AUTO_RESUME must fall
+    back to the previous good one instead of crash-looping."""
+    import shutil
+
+    from speechdrivestemplates_tpu.config import get_cfg_defaults
+    from speechdrivestemplates_tpu.datasets.synthetic import make_synthetic_speaker
+    from speechdrivestemplates_tpu.pipelines import get_pipeline
+
+    root = tmp_path / "speakers"
+    out = tmp_path / "out"
+    make_synthetic_speaker(str(root), "oliver", num_train=4, num_dev=0)
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(os.path.join(
+        os.path.dirname(__file__), "..", "configs", "voice2pose_sdt_bp.yaml"))
+    cfg.DATASET.ROOT_DIR = str(root)
+    cfg.DATASET.SPEAKER = "oliver"
+    cfg.TRAIN.BATCH_SIZE = 4
+    cfg.SYS.NUM_WORKERS = 0
+    cfg.SYS.OUTPUT_DIR = str(out)
+    cfg.TRAIN.AUTO_RESUME = True
+    cfg.freeze()
+
+    tag = "sdt_bp-TRAIN-t"
+    # a prior run that saved epoch-1 (good) and epoch-2 (to be corrupted)
+    pipe = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
+    pipe.setup_dataset(cfg, "train")
+    pipe.setup_model(cfg)
+    pipe.setup_optimizer()
+    pipe.base_path = str(out / f"2026-01-01_00-00-00_{tag}")
+    pipe.save_checkpoint(epoch=1, global_step=10)
+    pipe.save_checkpoint(epoch=2, global_step=20)
+    ck2 = os.path.join(pipe.base_path, "checkpoints",
+                       "checkpoint_epoch-2_step-20")
+    # truncate: keep the final-named dir but destroy its contents
+    shutil.rmtree(ck2)
+    os.makedirs(ck2)
+
+    fresh = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
+    base_path, epoch, step = fresh.setup_experiment(True, tag)
+    assert (epoch, step) == (1, 10)
+    assert base_path == pipe.base_path  # resumed into the original exp dir
