@@ -211,3 +211,46 @@ def draw_pose_frames_in_long_img(poses):
             window = canvas[:, x0: x0 + w, :]
             draw_body_parts(window, poses[i] + np.array([[w // 2, H // 2]]))
     return canvas
+
+
+if __name__ == "__main__":
+    # Headless offline inspectors (reference keypoint_visualization.py:210-215
+    # runs vis_train_csv_dir from __main__; here both inspectors are exposed):
+    #   python -m speechdrivestemplates_tpu.utils.viz npz <clip.npz> [-o DIR]
+    #       [--align-image] [--max-frames N]
+    #   python -m speechdrivestemplates_tpu.utils.viz csv <data_root> <speaker>
+    #       [-o DIR] [--align-image] [--max-clips N] [--csv PATH]
+    import argparse
+    import tempfile
+
+    ap = argparse.ArgumentParser(description="offline keypoint inspectors")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    np_p = sub.add_parser("npz", help="render one training clip npz")
+    np_p.add_argument("npz_path")
+    np_p.add_argument("-o", "--out_dir", default=None)
+    np_p.add_argument("--align-image", action="store_true",
+                      help="draw over the clip's original video frames")
+    np_p.add_argument("--max-frames", type=int, default=None)
+    cs_p = sub.add_parser("csv", help="batch-inspect every clip in a csv")
+    cs_p.add_argument("data_root")
+    cs_p.add_argument("speaker")
+    cs_p.add_argument("-o", "--out_dir", default=None)
+    cs_p.add_argument("--align-image", action="store_true")
+    cs_p.add_argument("--max-frames", type=int, default=None)
+    cs_p.add_argument("--max-clips", type=int, default=None)
+    cs_p.add_argument("--csv", dest="csv_path", default=None)
+    args = ap.parse_args()
+
+    out = args.out_dir or tempfile.mkdtemp(prefix="sdt_viz_")
+    if args.cmd == "npz":
+        frames = vis_train_npz(args.npz_path, out_dir=out,
+                               max_frames=args.max_frames,
+                               align_image=args.align_image)
+        print(f"rendered {len(frames)} frames to {out}")
+    else:
+        clips = vis_train_csv_dir(args.data_root, args.speaker, out_dir=out,
+                                  align_image=args.align_image,
+                                  max_frames=args.max_frames,
+                                  max_clips=args.max_clips,
+                                  csv_path=args.csv_path)
+        print(f"rendered {len(clips)} clips to {out}")
