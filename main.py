@@ -42,6 +42,10 @@ def setup_config():
                              "(weights + speaker stats baked in) to PATH as a "
                              "serialized StableHLO artifact; requires "
                              "--checkpoint (see utils/export.py)")
+    parser.add_argument("--export_torch", type=str, default=None, metavar="PATH",
+                        help="convert --checkpoint to a reference-format "
+                             "PyTorch .pth (model weights; see "
+                             "utils/torch_export.py)")
     parser.add_argument("--export_platforms", type=str, default="cpu,tpu",
                         help="comma-separated lowering platforms baked into "
                              "the --export artifact (an artifact can only be "
@@ -73,7 +77,14 @@ def run(args, cfg):
     pipeline = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
 
     cfg_name = args.config_file.split("/")[-1].split(".")[0]
-    if args.export:
+    if args.export_torch:
+        from speechdrivestemplates_tpu.utils.torch_export import export_checkpoint
+
+        assert args.checkpoint, "--export_torch requires --checkpoint"
+        meta = export_checkpoint(cfg, args.checkpoint, args.export_torch)
+        print(f"exported {meta['num_keys']} tensors (epoch {meta['epoch']}, "
+              f"step {meta['step']}) to {args.export_torch}")
+    elif args.export:
         from speechdrivestemplates_tpu.utils.export import export_serving_fn
 
         assert args.checkpoint, "--export requires --checkpoint"
