@@ -602,15 +602,17 @@ class Trainer:
 
 
 def _make_tb_writer(base_path: str):
-    """TensorBoard writer if available (torch's works CPU-only); else a no-op."""
+    """TensorBoard writer: torch's when available (richer video summaries),
+    else the in-repo dependency-free event writer (utils/tb_native.py)."""
     try:
         from torch.utils.tensorboard import SummaryWriter
 
         return SummaryWriter(log_dir=base_path)
     except Exception as e:
-        logging.error(
-            "TensorBoard writer unavailable (%s: %s) — TB scalars/figures/"
-            "videos are DISABLED for this run; file/console logging only. "
-            "Install the 'tensorboard' package to restore them.",
-            type(e).__name__, e)
-        return None
+        from ..utils.tb_native import NativeTBWriter
+
+        logging.info(
+            "torch TensorBoard writer unavailable (%s: %s) — using the "
+            "native event writer (scalars/figures/images; videos degrade "
+            "to filmstrip images).", type(e).__name__, e)
+        return NativeTBWriter(log_dir=base_path)

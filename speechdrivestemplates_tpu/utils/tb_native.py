@@ -1,0 +1,284 @@
+"""Dependency-free TensorBoard event writer (pure Python, stdlib only).
+
+The trainer prefers ``torch.utils.tensorboard`` when present, but a lean TPU
+serving/training image has no reason to carry torch + tensorboard just for
+scalar logging — and silently LOSING all TB observability on such an image is
+worse (the reference always has torch, so it never faces this;
+``core/pipelines/trainer.py:370-374``).  This module writes TensorBoard's
+on-disk format directly:
+
+  - TFRecord framing: ``uint64 length | masked crc32c(length) | payload |
+    masked crc32c(payload)`` with the Castagnoli CRC and TF's rotate+add mask;
+  - hand-encoded ``Event``/``Summary`` protobufs (scalars, PNG image
+    summaries; figures render via matplotlib; videos fall back to a filmstrip
+    image — animated-GIF encoding is the one thing the torch writer does
+    better);
+  - a matching reader (used by the tests, cross-validated against the real
+    ``tensorboard`` package's loader).
+
+Everything TensorBoard needs, nothing else.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import socket
+import struct
+import time
+import zlib
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+# -- crc32c (Castagnoli, reflected 0x82F63B78) + TF masking ---------------------
+
+_CRC_TABLE = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
+    _CRC_TABLE.append(_c)
+
+
+def _crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = _crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+# -- minimal protobuf encoding ---------------------------------------------------
+
+def _varint(n: int) -> bytes:
+    out = b""
+    n &= 0xFFFFFFFFFFFFFFFF  # int64 two's complement
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _key(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _f_varint(field: int, n: int) -> bytes:
+    return _key(field, 0) + _varint(n)
+
+
+def _f_double(field: int, v: float) -> bytes:
+    return _key(field, 1) + struct.pack("<d", v)
+
+
+def _f_float(field: int, v: float) -> bytes:
+    return _key(field, 5) + struct.pack("<f", v)
+
+
+def _f_bytes(field: int, data: bytes) -> bytes:
+    return _key(field, 2) + _varint(len(data)) + data
+
+
+def _png_encode(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> PNG bytes (8-bit RGB, no filtering). stdlib only."""
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    raw = b"".join(b"\x00" + rgb[i].tobytes() for i in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def _event(step: Optional[int] = None, summary: Optional[bytes] = None,
+           file_version: Optional[str] = None,
+           wall_time: Optional[float] = None) -> bytes:
+    out = _f_double(1, time.time() if wall_time is None else wall_time)
+    if step is not None:
+        out += _f_varint(2, int(step))
+    if file_version is not None:
+        out += _f_bytes(3, file_version.encode())
+    if summary is not None:
+        out += _f_bytes(5, summary)
+    return out
+
+
+def _scalar_summary(tag: str, value: float) -> bytes:
+    val = _f_bytes(1, tag.encode()) + _f_float(2, float(value))
+    return _f_bytes(1, val)  # Summary.value (repeated field 1)
+
+
+def _image_summary(tag: str, rgb: np.ndarray) -> bytes:
+    h, w, _ = rgb.shape
+    img = (_f_varint(1, h) + _f_varint(2, w) + _f_varint(3, 3)
+           + _f_bytes(4, _png_encode(rgb)))
+    val = _f_bytes(1, tag.encode()) + _f_bytes(4, img)
+    return _f_bytes(1, val)
+
+
+class NativeTBWriter:
+    """Drop-in for the subset of ``SummaryWriter`` this framework uses:
+    ``add_scalar``, ``add_figure``, ``add_image``, ``add_video``, ``flush``,
+    ``close``."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        fname = (f"events.out.tfevents.{int(time.time())}."
+                 f"{socket.gethostname()}.{os.getpid()}.0")
+        self._path = os.path.join(log_dir, fname)
+        self._f = open(self._path, "ab")
+        self._write(_event(file_version="brain.Event:2"))
+        self.flush()
+
+    # -- framing ---------------------------------------------------------------
+
+    def _write(self, payload: bytes) -> None:
+        header = struct.pack("<Q", len(payload))
+        self._f.write(header + struct.pack("<I", _masked_crc(header))
+                      + payload + struct.pack("<I", _masked_crc(payload)))
+
+    # -- public API ------------------------------------------------------------
+
+    def add_scalar(self, tag: str, value, global_step: Optional[int] = None):
+        self._write(_event(step=global_step,
+                           summary=_scalar_summary(tag, float(value))))
+
+    def add_image(self, tag: str, img, global_step: Optional[int] = None,
+                  dataformats: str = "CHW"):
+        img = np.asarray(img)
+        if dataformats == "CHW" or (img.ndim == 3 and img.shape[0] in (1, 3)
+                                    and dataformats != "HWC"):
+            img = np.transpose(img, (1, 2, 0))
+        if img.shape[-1] == 1:
+            img = np.repeat(img, 3, axis=-1)
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+        self._write(_event(step=global_step, summary=_image_summary(tag, img)))
+
+    def add_figure(self, tag: str, figure, global_step: Optional[int] = None):
+        try:
+            figure.canvas.draw()
+            buf = np.asarray(figure.canvas.buffer_rgba())[..., :3]
+        except Exception as e:  # pragma: no cover - matplotlib-version quirks
+            logging.warning("NativeTBWriter: cannot rasterize figure (%s)", e)
+            return
+        self._write(_event(step=global_step, summary=_image_summary(tag, buf)))
+        try:
+            import matplotlib.pyplot as plt
+
+            plt.close(figure)  # SummaryWriter.add_figure closes by default too
+        except Exception:
+            pass
+
+    def add_video(self, tag: str, vid_tensor, global_step: Optional[int] = None,
+                  fps: int = 4):
+        """(B, T, C, H, W) float in [0,1] -> a filmstrip image summary (every
+        k-th frame side by side; animated GIF needs an LZW encoder — use the
+        torch writer for true video summaries)."""
+        v = np.asarray(vid_tensor)
+        if v.ndim != 5:
+            logging.warning("NativeTBWriter.add_video: expected 5-D, got %s",
+                            v.shape)
+            return
+        frames = v[0]  # (T, C, H, W)
+        take = max(len(frames) // 8, 1)
+        strip = np.concatenate(list(frames[::take][:8]), axis=-1)  # (C, H, 8W)
+        self.add_image(tag, strip, global_step=global_step)
+
+    def flush(self):
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+# -- reader (tests / debugging) --------------------------------------------------
+
+def _read_varint(data: bytes, pos: int) -> Tuple[int, int]:
+    out = shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+
+
+def _parse_fields(data: bytes) -> Iterator[Tuple[int, int, bytes]]:
+    pos = 0
+    while pos < len(data):
+        k, pos = _read_varint(data, pos)
+        field, wire = k >> 3, k & 7
+        if wire == 0:
+            v, pos = _read_varint(data, pos)
+            yield field, wire, v
+        elif wire == 1:
+            yield field, wire, data[pos: pos + 8]
+            pos += 8
+        elif wire == 2:
+            n, pos = _read_varint(data, pos)
+            yield field, wire, data[pos: pos + n]
+            pos += n
+        elif wire == 5:
+            yield field, wire, data[pos: pos + 4]
+            pos += 4
+        else:  # pragma: no cover
+            raise ValueError(f"unsupported wire type {wire}")
+
+
+def read_events(path: str) -> list:
+    """Parse an event file back into dicts (CRC-checked):
+    ``{step, tag, value}`` for scalars, ``{step, tag, png}`` for images."""
+    out = []
+    with open(path, "rb") as f:
+        data = f.read()
+    pos = 0
+    while pos < len(data):
+        header = data[pos: pos + 8]
+        (length,) = struct.unpack("<Q", header)
+        (hcrc,) = struct.unpack("<I", data[pos + 8: pos + 12])
+        assert hcrc == _masked_crc(header), "corrupt record header"
+        payload = data[pos + 12: pos + 12 + length]
+        (pcrc,) = struct.unpack("<I", data[pos + 12 + length: pos + 16 + length])
+        assert pcrc == _masked_crc(payload), "corrupt record payload"
+        pos += 16 + length
+
+        step, summary = 0, None
+        for field, wire, v in _parse_fields(payload):
+            if field == 2 and wire == 0:
+                step = v
+            elif field == 5 and wire == 2:
+                summary = v
+        if summary is None:
+            continue
+        for field, wire, val in _parse_fields(summary):
+            if field != 1 or wire != 2:
+                continue
+            tag, scalar, png = None, None, None
+            for f2, w2, v2 in _parse_fields(val):
+                if f2 == 1 and w2 == 2:
+                    tag = v2.decode()
+                elif f2 == 2 and w2 == 5:
+                    (scalar,) = struct.unpack("<f", v2)
+                elif f2 == 4 and w2 == 2:
+                    for f3, w3, v3 in _parse_fields(v2):
+                        if f3 == 4 and w3 == 2:
+                            png = v3
+            if scalar is not None:
+                out.append({"step": step, "tag": tag, "value": scalar})
+            elif png is not None:
+                out.append({"step": step, "tag": tag, "png": png})
+    return out
