@@ -1,0 +1,185 @@
+"""Component-level step profiler: where does the time go on this chip?
+
+The axon remote-compile backend cannot capture server-side XLA traces, so the
+framework's profiling story on such backends is cumulative-subgraph bisection:
+jit a nested prefix of the computation, slope-time it (two run lengths cancel
+the fixed host/tunnel round-trip), and difference consecutive prefixes.  This
+is the committed, reproducible form of the methodology behind the numbers in
+docs/STATUS_r2.md ("Serving-path kernel work").
+
+Usage:  python bench_profile.py [--batch 128] [--train-batch 32]
+Prints a per-component table for the serving forward and the train step.
+(Run with the chip otherwise idle — see bench.py's methodology note.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _slope_time(fn, args, iters=20):
+    """Seconds per call, fixed costs cancelled; fetches one output element as
+    the completion fence (block_until_ready can ack at dispatch through
+    remote-device tunnels)."""
+    def fence(o):
+        while isinstance(o, (tuple, list, dict)):
+            o = (list(o.values()) if isinstance(o, dict) else list(o))[0]
+        # device-side slice FIRST: fetching the full array through a remote
+        # tunnel costs seconds of high-variance transfer and swamps the slope
+        return float(o[(0,) * o.ndim])
+
+    out = fn(*args)
+    fence(out)
+    for _ in range(3):
+        out = fn(*args)
+    fence(out)
+
+    def run(n):
+        tic = time.perf_counter()
+        for _ in range(n):
+            o = fn(*args)
+        fence(o)
+        return time.perf_counter() - tic
+
+    t1, t2 = run(iters), run(iters * 4)
+    return (t2 - t1) / (iters * 3)
+
+
+def profile_serving(batch: int):
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_cfg
+    from speechdrivestemplates_tpu.models import build_model
+    from speechdrivestemplates_tpu.ops.mel import mel_spectrogram
+
+    cfg = _flagship_cfg()
+    cfg.freeze()
+    gen = build_model(cfg.VOICE2POSE.GENERATOR.NAME, cfg)
+
+    audio_len, T = 68266, 64
+    t_mel = audio_len // 160 + 1
+    key = jax.random.PRNGKey(0)
+    variables = gen.init(key, jnp.zeros((1, 80, t_mel)), T, jnp.zeros((1, 32)),
+                         False)
+    audio = jax.device_put(jax.random.normal(key, (batch, audio_len)) * 0.1)
+    code = jax.device_put(jax.random.normal(key, (batch, 32)))
+
+    # cumulative prefixes of the forward
+    mel_only = jax.jit(lambda a: mel_spectrogram(a, impl="auto"))
+    full = jax.jit(lambda v, a, c: gen.apply(
+        v, mel_spectrogram(a, impl="auto"), T, c, False))
+
+    t_mel_ms = _slope_time(mel_only, (audio,)) * 1e3
+    t_full_ms = _slope_time(full, (variables, audio, code)) * 1e3
+
+    # per-impl mel comparison
+    rows = [("mel frontend (auto)", t_mel_ms),
+            ("generator (full - mel)", t_full_ms - t_mel_ms),
+            ("full forward", t_full_ms)]
+    print(f"\n== serving forward, batch {batch} ==")
+    for name, ms in rows:
+        frames = batch * T / (t_full_ms / 1e3) if name == "full forward" else None
+        extra = f"   -> {frames:,.0f} pose-frames/s" if frames else ""
+        print(f"  {name:<28} {ms:8.3f} ms{extra}")
+
+    print(f"  -- mel impl sweep (batch {batch}) --")
+    for impl in ("dft2", "dft", "conv", "rfft"):
+        try:
+            f = jax.jit(lambda a, impl=impl: mel_spectrogram(a, impl=impl))
+            print(f"  {('mel impl=' + impl):<28} "
+                  f"{_slope_time(f, (audio,)) * 1e3:8.3f} ms")
+        except Exception as e:
+            print(f"  mel impl={impl}: unavailable ({type(e).__name__})")
+    return t_full_ms
+
+
+def profile_train(batch: int):
+    import tempfile
+
+    import jax
+
+    from __graft_entry__ import _flagship_cfg
+    from speechdrivestemplates_tpu.datasets.synthetic import make_synthetic_speaker
+    from speechdrivestemplates_tpu.pipelines import get_pipeline
+
+    with tempfile.TemporaryDirectory() as tmp:
+        make_synthetic_speaker(tmp, "oliver", num_train=batch, num_dev=0)
+        cfg = _flagship_cfg()
+        cfg.DATASET.ROOT_DIR = tmp
+        cfg.TRAIN.BATCH_SIZE = batch
+        cfg.TRAIN.VALIDATE = False
+        cfg.TRAIN.SAVE_VIDEO = False
+        cfg.freeze()
+        pipe = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
+        pipe.setup_dataset(cfg, "train")
+        pipe.setup_model(cfg)
+        pipe.setup_optimizer()
+        db = pipe._device_batch(next(iter(pipe.train_dataloader)))
+        rng = jax.random.PRNGKey(0)
+        step_fn = pipe._get_train_step()
+
+        def run_step(state, b, r):
+            s, losses, _ = step_fn(state, b, r)
+            return losses["G_loss"]
+
+        # donation means the state is consumed; rebuild between timings by
+        # keeping a pristine copy on host? cheaper: re-run setup of state only.
+        state = pipe.state
+        t_ms = None
+        try:
+            # donated arg: time with a fresh state per call is wrong; instead
+            # chain states like bench.py does
+            def chained(n):
+                nonlocal state
+                tic = time.perf_counter()
+                for i in range(n):
+                    state, losses, _ = step_fn(state, db, rng)
+                float(losses["G_loss"])
+                return time.perf_counter() - tic
+
+            state, losses, _ = step_fn(state, db, rng)  # compile + warm
+            float(losses["G_loss"])
+            chained(10)  # throwaway: absorbs donation-signature recompiles
+            t1, t2 = chained(10), chained(40)
+            t_ms = (t2 - t1) / 30 * 1e3
+        finally:
+            pass
+        print(f"\n== train step, batch {batch} ==")
+        print(f"  full step                    {t_ms:8.3f} ms"
+              f"   -> {1e3 / t_ms:.1f} steps/s")
+        try:
+            ca = step_fn.lower(state, db, rng).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+            if flops:
+                print(f"  XLA cost model               {flops/1e9:8.2f} GFLOP"
+                      f"   -> MFU {flops / (t_ms/1e3) / 197e12 * 100:.1f}% "
+                      "of v5e bf16 peak")
+        except Exception as e:
+            print(f"  cost_analysis unavailable: {e}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128,
+                    help="serving-forward batch (128 = v5e sweet spot)")
+    ap.add_argument("--train-batch", type=int, default=32)
+    ap.add_argument("--skip-train", action="store_true")
+    args = ap.parse_args()
+
+    import bench
+
+    bench._enable_compile_cache()
+    profile_serving(args.batch)
+    if not args.skip_train:
+        profile_train(args.train_batch)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

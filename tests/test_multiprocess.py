@@ -79,16 +79,17 @@ def test_two_process_distributed_train(tmp_path):
                 p.kill()
         return procs, ["" if o is None else o for o in outs]
 
-    # one retry for INFRA failures only (port races / rendezvous timeouts under
-    # load); VALUE assertions below stay strict and are never retried
-    for attempt in range(2):
+    # retries for INFRA failures only (port races / Gloo's hardcoded-30s KV
+    # rendezvous timing out when the full suite oversubscribes this 1-core
+    # host); VALUE assertions below stay strict and are never retried
+    for attempt in range(3):
         procs, outs = launch()
         infra_fail = any(p.returncode != 0 for p in procs) or not all(
             any(ln.startswith("MPRESULT ") for ln in out.splitlines())
             for out in outs)
         if not infra_fail:
             break
-        if attempt == 1:
+        if attempt == 2:
             for i, (p, out) in enumerate(zip(procs, outs)):
                 assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
                 assert any(ln.startswith("MPRESULT ")
