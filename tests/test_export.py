@@ -78,3 +78,44 @@ def test_export_round_trip(rng):
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-3)
         # pixel-space sanity: denormalization took the poses out of z-scores
         assert float(np.abs(got).max()) > 10.0
+
+
+@pytest.mark.slow
+def test_export_round_trip_s2g_bn(rng):
+    """BN generator (s2g) + no clip code: exercises batch-stats baking and the
+    single-input (audio-only) serving signature."""
+    with tempfile.TemporaryDirectory() as tmp:
+        make_synthetic_speaker(tmp, "oliver", num_train=4, num_dev=0)
+        cfg = get_cfg_defaults()
+        cfg.merge_from_file(os.path.join(CFG_DIR, "voice2pose_s2g.yaml"))
+        cfg.DATASET.ROOT_DIR = tmp
+        cfg.DATASET.SPEAKER = "oliver"
+        cfg.TRAIN.BATCH_SIZE = 4
+        cfg.SYS.NUM_WORKERS = 0
+        cfg.freeze()
+        pipe = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
+        pipe.setup_dataset(cfg, "train")
+        pipe.setup_model(cfg)
+        pipe.setup_optimizer()
+        pipe.base_path = tmp
+        pipe.save_checkpoint(epoch=1, global_step=1)
+
+        out_path = os.path.join(tmp, "serving", "s2g.stablehlo")
+        meta = export_serving_fn(cfg, os.path.join(tmp, "checkpoints"),
+                                 out_path, batch_size=2)
+        assert meta["code_dim"] is None
+        assert meta["inputs"] == ["audio f32[B,L]"]
+
+        audio = jnp.asarray(
+            rng.randn(2, cfg.DATASET.AUDIO_LENGTH).astype(np.float32) * 0.1)
+        served = load_serving_fn(out_path)
+        got = np.asarray(served(audio))
+
+        fn, has_code = build_serving_fn(
+            cfg, jax.device_get(pipe.state["params_g"]),
+            jax.device_get(pipe.state.get("batch_stats_g") or {}))
+        assert not has_code
+        want = np.asarray(fn(audio))
+        # s2g outputs are O(1000 px) (non-hierarchical global space), so the
+        # StableHLO-recompile round-off scales up accordingly
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-2)
