@@ -61,3 +61,36 @@ def test_cli_train_test_demo(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     demo_npz = glob.glob(os.path.join(out, "*DEMO*", "results", "*.npz"))
     assert demo_npz
+
+
+def test_cli_export_torch(tmp_path):
+    """--export_torch converts a trained orbax checkpoint to a reference .pth
+    through the CLI (subprocess, CPU)."""
+    root = str(tmp_path / "speakers")
+    make_synthetic_speaker(root, "oliver", num_train=4, num_dev=0)
+    out = str(tmp_path / "out")
+
+    common = [
+        "DATASET.ROOT_DIR", root, "DATASET.SPEAKER", "oliver",
+        "TRAIN.NUM_EPOCHS", "1", "TRAIN.BATCH_SIZE", "2",
+        "TRAIN.SAVE_VIDEO", "False", "TRAIN.VALIDATE", "False",
+        "SYS.OUTPUT_DIR", out, "SYS.MESH.DATA", "1", "SYS.NUM_WORKERS", "0",
+    ]
+    r = _run(["--config_file", "configs/voice2pose_sdt_bp.yaml", "--tag", "xt"]
+             + common)
+    assert r.returncode == 0, r.stderr[-2000:]
+    exp = glob.glob(os.path.join(out, "*TRAIN*"))[0]
+
+    pth = os.path.join(out, "sdt_bp.pth")
+    r = _run(["--config_file", "configs/voice2pose_sdt_bp.yaml",
+              "--checkpoint", exp, "--export_torch", pth] + common)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "exported" in r.stdout and os.path.exists(pth)
+
+    import torch
+
+    ckpt = torch.load(pth, map_location="cpu", weights_only=False)
+    sd = ckpt["model_state_dict"]
+    assert any(k.startswith("netG.") for k in sd)
+    assert "clips_code" in sd and sd["clips_code"].shape == (4, 32)
+    assert ckpt["epoch"] == 1

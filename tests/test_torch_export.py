@@ -189,3 +189,54 @@ def test_export_import_round_trip(ref_networks, rng, tmp_path):
     back = ti.import_voice2pose(pth, state)
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)), state, back)
+
+
+@pytest.mark.slow
+def test_export_pose2pose_checkpoint(ref_networks, rng, tmp_path):
+    """export_pose2pose -> .pth loads into the reference Pose2PoseModel
+    (banks + AE weights + BN running stats), via the full-file path."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    import jax
+    import jax.numpy as jnp
+    from _reference import install_reference_stubs
+
+    torch = install_reference_stubs()
+    from core.pipelines.pose2pose import Pose2PoseModel
+
+    from speechdrivestemplates_tpu.models import build_model
+    from speechdrivestemplates_tpu.utils import torch_import as ti
+    from speechdrivestemplates_tpu.utils.torch_export import (
+        export_pose2pose, save_torch_checkpoint)
+
+    cfg = _cfg()
+    ae = build_model("Autoencoder", cfg)
+    poses = jnp.asarray(rng.randn(2, 64, 2, 121).astype(np.float32))
+    variables = ae.init(
+        {"params": jax.random.PRNGKey(0), "reparam": jax.random.PRNGKey(1)},
+        poses, 64)
+    state = {
+        "params_ae": ti._to_mutable(variables["params"]),
+        "batch_stats_ae": ti._to_mutable(variables.get("batch_stats", {})),
+        "clip_code_mu": jnp.asarray(rng.randn(8, 32).astype(np.float32)),
+        "clip_code_logvar": jnp.asarray(rng.randn(8, 32).astype(np.float32)),
+    }
+    pth = str(tmp_path / "p2p.pth")
+    save_torch_checkpoint(pth, export_pose2pose(state), epoch=3, step=30)
+
+    model = Pose2PoseModel(cfg, num_train_samples=8)
+    ckpt = torch.load(pth, map_location="cpu", weights_only=False)
+    assert (ckpt["epoch"], ckpt["step"]) == (3, 30)
+    missing, unexpected = model.load_state_dict(ckpt["model_state_dict"],
+                                                strict=False)
+    # only the stubbed-vs-real torchaudio mel buffer names may differ
+    assert all("mel_transfm" in k for k in list(missing) + list(unexpected)), (
+        missing, unexpected)
+    np.testing.assert_array_equal(model.clip_code_mu.numpy(),
+                                  np.asarray(state["clip_code_mu"]))
+
+    # and the import path round-trips it
+    back = ti.import_pose2pose(pth, state)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), state, back)
