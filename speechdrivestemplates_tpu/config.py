@@ -298,6 +298,9 @@ def _build_defaults() -> CfgNode:
     # restartable (preemptible) jobs: resume from this tag's newest checkpoint
     # automatically when no --resume_from is given (see Trainer.find_auto_resume)
     _C.TRAIN.AUTO_RESUME = False
+    # on SIGTERM (preemption notice), finish the in-flight step, save a
+    # checkpoint, and exit 143 — pairs with AUTO_RESUME for restartable jobs
+    _C.TRAIN.CHECKPOINT_ON_PREEMPT = True
     _C.TRAIN.VALIDATE = True
     _C.TRAIN.NUM_RESULT_SAMPLE = 2
     _C.TRAIN.CHECKPOINT_INTERVAL = 1  # epochs between checkpoint saves

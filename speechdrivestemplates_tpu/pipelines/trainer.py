@@ -457,6 +457,27 @@ class Trainer:
             logging.info("\n====== Configurations ======\n%s\n============\n", str(cfg))
             logging.info("Training begins!")
 
+        # Preemption notice (SIGTERM): finish the in-flight step, checkpoint,
+        # exit 143.  The save is stamped (epoch-1, global_step) so a resume
+        # redoes the interrupted epoch from its (deterministically shuffled)
+        # start — at most one epoch of work repeats, none is lost.  Pairs with
+        # TRAIN.AUTO_RESUME; the reference's only recovery is a manual
+        # --resume_from of an epoch-boundary checkpoint (trainer.py:172-184).
+        self._preempted = False
+        old_sigterm = None
+        if cfg.TRAIN.CHECKPOINT_ON_PREEMPT:
+            import signal
+
+            def _on_sigterm(signum, frame):
+                self._preempted = True
+                logging.warning("SIGTERM received — will checkpoint after the "
+                                "in-flight step and exit")
+
+            try:
+                old_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+            except ValueError:  # non-main thread (e.g. driven from tests)
+                old_sigterm = None
+
         epoch_toc_list = []
         while epoch < cfg.TRAIN.NUM_EPOCHS:
             epoch += 1
@@ -469,6 +490,12 @@ class Trainer:
                 self._maybe_profile(cfg, global_step)
                 self.train_step(batch, t_step + 1, global_step, epoch,
                                 device_batch=db)
+                if self._preempted:
+                    self.save_checkpoint(epoch - 1, global_step)
+                    logging.warning(
+                        "Preemption checkpoint saved (epoch %d, step %d); "
+                        "exiting 143", epoch - 1, global_step)
+                    raise SystemExit(143)
 
             if epoch % cfg.TRAIN.CHECKPOINT_INTERVAL == 0:
                 # orbax saves are process-collective (unlike torch.save, which the
@@ -486,6 +513,11 @@ class Trainer:
                 fig_dict = self.draw_figure_epoch()
                 self.logger_writer_epoch("TRAIN", epoch_toc, epoch=epoch, ETA=ETA,
                                          figures=fig_dict)
+
+        if old_sigterm is not None:
+            import signal
+
+            signal.signal(signal.SIGTERM, old_sigterm)
 
     def on_epoch_end(self, epoch: int) -> None:
         """LR schedules are step-indexed inside optax; nothing to tick by default."""

@@ -94,3 +94,61 @@ def test_cli_export_torch(tmp_path):
     assert any(k.startswith("netG.") for k in sd)
     assert "clips_code" in sd and sd["clips_code"].shape == (4, 32)
     assert ckpt["epoch"] == 1
+
+
+def test_cli_preemption_checkpoint_and_auto_resume(tmp_path):
+    """SIGTERM mid-training -> step-boundary checkpoint + exit 143; a restart
+    with TRAIN.AUTO_RESUME picks it up (the preemptible-job story end to end)."""
+    import signal
+    import subprocess
+    import time as _time
+
+    root = str(tmp_path / "speakers")
+    make_synthetic_speaker(root, "oliver", num_train=8, num_dev=0)
+    out = str(tmp_path / "out")
+
+    common = [
+        "DATASET.ROOT_DIR", root, "DATASET.SPEAKER", "oliver",
+        "TRAIN.NUM_EPOCHS", "500", "TRAIN.BATCH_SIZE", "2",
+        "TRAIN.SAVE_VIDEO", "False", "TRAIN.VALIDATE", "False",
+        "TRAIN.AUTO_RESUME", "True", "TRAIN.CHECKPOINT_INTERVAL", "1000",
+        "SYS.OUTPUT_DIR", out, "SYS.MESH.DATA", "1", "SYS.NUM_WORKERS", "0",
+        "SYS.LOG_INTERVAL", "1",
+    ]
+    proc = subprocess.Popen(
+        [sys.executable, "main.py", "--config_file",
+         "configs/voice2pose_sdt_bp.yaml", "--tag", "pre"] + common,
+        cwd=REPO, env=_env(), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+
+    # wait until at least one optimization step has logged, then preempt
+    deadline = _time.time() + 600
+    saw_step = False
+    lines = []
+    for line in proc.stdout:
+        lines.append(line)
+        if "global_step" in line:
+            saw_step = True
+            break
+        if _time.time() > deadline:
+            break
+    assert saw_step, "".join(lines)[-3000:]
+    proc.send_signal(signal.SIGTERM)
+    rest, _ = proc.communicate(timeout=300)
+    assert proc.returncode == 143, (proc.returncode, rest[-3000:])
+    assert "Preemption checkpoint saved" in rest
+
+    ckpts = glob.glob(os.path.join(out, "*TRAIN*", "checkpoints",
+                                   "checkpoint_*"))
+    assert ckpts, rest[-2000:]
+
+    # restart the SAME command: AUTO_RESUME must find the preemption save
+    r = _run(["--config_file", "configs/voice2pose_sdt_bp.yaml", "--tag",
+              "pre", "--test_only", "--checkpoint", ckpts[0]] + common)
+    # (test_only with the explicit checkpoint proves the save restores; the
+    # auto-resume resolution itself:)
+    assert r.returncode == 0, r.stderr[-2000:]
+    from speechdrivestemplates_tpu.pipelines.trainer import Trainer
+
+    found = Trainer.find_auto_resume(out, "voice2pose_sdt_bp-TRAIN-pre")
+    assert found is not None and os.path.basename(ckpts[0]) == os.path.basename(found)
