@@ -123,32 +123,22 @@ def profile_train(batch: int):
         rng = jax.random.PRNGKey(0)
         step_fn = pipe._get_train_step()
 
-        def run_step(state, b, r):
-            s, losses, _ = step_fn(state, b, r)
-            return losses["G_loss"]
-
-        # donation means the state is consumed; rebuild between timings by
-        # keeping a pristine copy on host? cheaper: re-run setup of state only.
+        # the state arg is donated, so successive timed calls chain states
         state = pipe.state
-        t_ms = None
-        try:
-            # donated arg: time with a fresh state per call is wrong; instead
-            # chain states like bench.py does
-            def chained(n):
-                nonlocal state
-                tic = time.perf_counter()
-                for i in range(n):
-                    state, losses, _ = step_fn(state, db, rng)
-                float(losses["G_loss"])
-                return time.perf_counter() - tic
 
-            state, losses, _ = step_fn(state, db, rng)  # compile + warm
+        def chained(n):
+            nonlocal state
+            tic = time.perf_counter()
+            for i in range(n):
+                state, losses, _ = step_fn(state, db, rng)
             float(losses["G_loss"])
-            chained(10)  # throwaway: absorbs donation-signature recompiles
-            t1, t2 = chained(10), chained(40)
-            t_ms = (t2 - t1) / 30 * 1e3
-        finally:
-            pass
+            return time.perf_counter() - tic
+
+        state, losses, _ = step_fn(state, db, rng)  # compile + warm
+        float(losses["G_loss"])
+        chained(10)  # throwaway: absorbs donation-signature recompiles
+        t1, t2 = chained(10), chained(40)
+        t_ms = (t2 - t1) / 30 * 1e3
         print(f"\n== train step, batch {batch} ==")
         print(f"  full step                    {t_ms:8.3f} ms"
               f"   -> {1e3 / t_ms:.1f} steps/s")

@@ -490,7 +490,7 @@ class Trainer:
                 self._maybe_profile(cfg, global_step)
                 self.train_step(batch, t_step + 1, global_step, epoch,
                                 device_batch=db)
-                if self._preempted:
+                if self._preempt_agreed(cfg):
                     self.save_checkpoint(epoch - 1, global_step)
                     logging.warning(
                         "Preemption checkpoint saved (epoch %d, step %d); "
@@ -518,6 +518,31 @@ class Trainer:
             import signal
 
             signal.signal(signal.SIGTERM, old_sigterm)
+
+    def _preempt_agreed(self, cfg) -> bool:
+        """Whether to preempt NOW — collectively agreed across hosts.
+
+        SIGTERM delivery is per-process, so on a multi-host slice one host's
+        handler can fire a step boundary earlier than another's.  The
+        preemption checkpoint is an orbax COLLECTIVE save: entering it on
+        host A while host B runs the next step's collectives would deadlock
+        (and even without a hang the hosts would stamp different step
+        numbers).  A tiny allgather of the local flag at every step boundary
+        makes the decision—and therefore the (epoch, step) stamp—identical on
+        every host, at the cost of one 4-byte collective per step
+        (single-process runs skip it entirely)."""
+        if not cfg.TRAIN.CHECKPOINT_ON_PREEMPT:
+            return False
+        import jax
+
+        if jax.process_count() == 1:
+            return self._preempted
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray([self._preempted], dtype=np.int32))
+        return bool(np.asarray(flags).max())
 
     def on_epoch_end(self, epoch: int) -> None:
         """LR schedules are step-indexed inside optax; nothing to tick by default."""

@@ -47,13 +47,16 @@ class StreamingPoseSession:
     """
 
     def __init__(self, forward_fn: Callable, window_frames: int = 64,
-                 halo_frames: int = 16):
+                 halo_frames: int = 16, num_keypoints: int = 121):
         assert window_frames > 2 * halo_frames, "window must exceed its halos"
         self.forward_fn = forward_fn
         self.window_frames = window_frames
         self.halo_frames = halo_frames
         self.stride = window_frames - 2 * halo_frames
         self.window_samples = int(window_frames * SAMPLES_PER_FRAME)
+        # shapes empty returns before the first forward ran; corrected to the
+        # forward's actual K afterwards
+        self._num_kp = num_keypoints
 
         # the same ramp stitch_windows uses (ops/longform.py): linear fades
         # over each halo, floored so weights never vanish
@@ -79,9 +82,22 @@ class StreamingPoseSession:
         a0 = int(start_frame * SAMPLES_PER_FRAME)
         return a0, a0 + self.window_samples
 
+    def _frames_received(self) -> int:
+        """Frame count of the audio received so far — the SAME derivation the
+        offline demo dataset uses (parse_audio_length), so the set of windows
+        the session runs always equals ops/longform.plan_windows' plan for
+        this much audio.  Deriving readiness from raw sample arithmetic
+        instead would diverge at exact boundary lengths (int(W*spf) rounds
+        below W*spf) and break the offline-identical contract."""
+        from .audio import parse_audio_length
+
+        return parse_audio_length(self._consumed + len(self._audio),
+                                  16000, 15)[1]
+
     def _run_window(self, start_frame: int, audio_win: np.ndarray):
         poses = np.asarray(self.forward_fn(audio_win[None]))[0]
         assert poses.shape[0] == self.window_frames, poses.shape
+        self._num_kp = poses.shape[-1]
         if self._acc is None:
             k = poses.shape[-1]
             self._acc = np.zeros((0, 2, k), np.float64)
@@ -99,11 +115,13 @@ class StreamingPoseSession:
         self._acc[lo: lo + self.window_frames] += poses * self._ramp
         self._wgt[lo: lo + self.window_frames] += self._ramp
 
+    def _empty(self) -> np.ndarray:
+        return np.zeros((0, 2, self._num_kp), np.float32)
+
     def _emit_through(self, frame_end: int) -> np.ndarray:
         """Finalize and return frames [self._emitted, frame_end)."""
         if self._acc is None or frame_end <= self._emitted:
-            return np.zeros((0, 2, 1), np.float32) if self._acc is None else \
-                np.zeros((0,) + self._acc.shape[1:], np.float32)
+            return self._empty()
         lo = self._emitted - self._acc_start
         hi = frame_end - self._acc_start
         out = (self._acc[lo:hi] / self._wgt[lo:hi]).astype(np.float32)
@@ -131,9 +149,11 @@ class StreamingPoseSession:
         emitted: List[np.ndarray] = []
         while True:
             start = self._next_window * self.stride
-            a0, a1 = self._window_bounds(start)
-            if a1 > self._consumed + len(self._audio):
+            # readiness in FRAMES (the offline plan's criterion: a regular
+            # window exists iff start + window <= num_frames), not samples
+            if start + self.window_frames > self._frames_received():
                 break  # not enough audio buffered yet
+            a0, a1 = self._window_bounds(start)
             win = self._audio[a0 - self._consumed: a1 - self._consumed]
             self._run_window(start, win)
             self._next_window += 1
@@ -150,8 +170,7 @@ class StreamingPoseSession:
                 self._audio = self._audio[drop:]
                 self._consumed = keep_from
         if not emitted:
-            return (np.zeros((0,) + self._acc.shape[1:], np.float32)
-                    if self._acc is not None else np.zeros((0, 2, 1), np.float32))
+            return self._empty()
         return np.concatenate(emitted)
 
     def flush(self) -> np.ndarray:
@@ -160,12 +179,9 @@ class StreamingPoseSession:
         every remaining frame."""
         assert not self._finished, "session already flushed"
         self._finished = True
-        from .audio import parse_audio_length
-
-        total_samples = self._consumed + len(self._audio)
-        _, num_frames = parse_audio_length(total_samples, 16000, 15)
+        num_frames = self._frames_received()
         if num_frames <= 0:
-            return np.zeros((0, 2, 1), np.float32)
+            return self._empty()
 
         covered = ((self._next_window - 1) * self.stride + self.window_frames
                    if self._next_window > 0 else 0)

@@ -121,17 +121,24 @@ def test_cli_preemption_checkpoint_and_auto_resume(tmp_path):
         cwd=REPO, env=_env(), stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True)
 
-    # wait until at least one optimization step has logged, then preempt
-    deadline = _time.time() + 600
+    # wait until at least one optimization step has logged, then preempt.
+    # readline blocks, so the deadline is enforced by a kill timer (a wedged
+    # subprocess must fail the test, not hang the suite).
+    import threading
+
+    killer = threading.Timer(600, proc.kill)
+    killer.daemon = True
+    killer.start()
     saw_step = False
     lines = []
-    for line in proc.stdout:
-        lines.append(line)
-        if "global_step" in line:
-            saw_step = True
-            break
-        if _time.time() > deadline:
-            break
+    try:
+        for line in proc.stdout:
+            lines.append(line)
+            if "global_step" in line:
+                saw_step = True
+                break
+    finally:
+        killer.cancel()  # the SIGTERM phase below has its own timeout
     assert saw_step, "".join(lines)[-3000:]
     proc.send_signal(signal.SIGTERM)
     rest, _ = proc.communicate(timeout=300)

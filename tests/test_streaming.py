@@ -139,3 +139,29 @@ def test_stream_with_real_generator(rng):
     streamed = np.concatenate([g for g in got if g.size])
     assert streamed.shape == offline.shape == (nf, 2, 121)
     np.testing.assert_allclose(streamed, offline, rtol=0, atol=1e-5)
+
+
+def test_exact_boundary_length_matches_offline(rng):
+    """total=102399 samples: raw sample arithmetic would deem window 1 (start
+    32) ready (int(32*spf)+int(64*spf)=102399) while parse_audio_length gives
+    95 frames, whose offline plan is [0, tail@31].  The session must follow
+    the frame-derived plan (regression for the readiness criterion)."""
+    audio = (rng.randn(102399) * 0.1).astype(np.float32)
+    assert parse_audio_length(len(audio), 16000, 15)[1] == 95
+    want = offline_reference(audio)
+    got = stream(audio, chunk=16000)
+    assert got.shape == want.shape == (95, 2, K)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_empty_returns_are_concatenatable():
+    """Before any window runs, feed() returns (0, 2, num_keypoints) — callers
+    can np.concatenate every return without filtering."""
+    sess = StreamingPoseSession(fake_forward, 64, 16, num_keypoints=K)
+    outs = [sess.feed(np.zeros(1000, np.float32)) for _ in range(3)]
+    assert all(o.shape == (0, 2, K) for o in outs)
+    audio = np.zeros(int(80 * SAMPLES_PER_FRAME), np.float32)
+    outs.append(sess.feed(audio))
+    outs.append(sess.flush())
+    joined = np.concatenate(outs)
+    assert joined.shape[0] == sess.frames_emitted
