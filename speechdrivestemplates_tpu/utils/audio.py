@@ -79,3 +79,42 @@ def _load_via_ffmpeg(path: str, target_sr: int) -> np.ndarray:
          "pipe:1"],
         check=True, capture_output=True)
     return np.frombuffer(out.stdout, dtype=np.float32).copy()
+
+
+def vis_waveform(wav, out_path: str | None = None):
+    """Debug plot of a waveform (reference ``audio_processing.py:21-25``
+    shows it interactively; this headless variant saves/returns the figure)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    wav = np.asarray(wav)
+    print(f"Shape of waveform: {wav.shape}")
+    fig = plt.figure()
+    plt.plot(wav)
+    if out_path is not None:
+        fig.savefig(out_path)
+        plt.close(fig)
+        return None
+    return fig
+
+
+def vis_spectrogram(specgram, out_path: str | None = None):
+    """Debug plot of a (mel) spectrogram in log2 scale (reference
+    ``audio_processing.py:27-31``, headless)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    specgram = np.asarray(specgram)
+    print(f"Shape of spectrogram: {specgram.shape}")
+    fig = plt.figure()
+    plt.imshow(np.log2(np.maximum(specgram, np.finfo(np.float32).tiny)),
+               origin="lower", aspect="auto")
+    if out_path is not None:
+        fig.savefig(out_path)
+        plt.close(fig)
+        return None
+    return fig
