@@ -119,3 +119,38 @@ def test_export_round_trip_s2g_bn(rng):
         # s2g outputs are O(1000 px) (non-hierarchical global space), so the
         # StableHLO-recompile round-off scales up accordingly
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-2)
+
+
+@pytest.mark.slow
+def test_standalone_serving_runner(rng, tmp_path):
+    """serving/run_artifact.py consumes an artifact with zero framework
+    imports (subprocess; the script itself never imports the package)."""
+    import subprocess
+    import sys
+
+    with tempfile.TemporaryDirectory() as tmp:
+        make_synthetic_speaker(tmp, "oliver", num_train=4, num_dev=0)
+        cfg = _mk_cfg(tmp)
+        pipe = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
+        pipe.setup_dataset(cfg, "train")
+        pipe.setup_model(cfg)
+        pipe.setup_optimizer()
+        pipe.base_path = tmp
+        pipe.save_checkpoint(epoch=1, global_step=1)
+        art = os.path.join(tmp, "m.stablehlo")
+        export_serving_fn(cfg, os.path.join(tmp, "checkpoints"), art)
+
+        from speechdrivestemplates_tpu.datasets.synthetic import make_demo_wav
+
+        wav = make_demo_wav(str(tmp_path / "in.wav"))
+        out = str(tmp_path / "out.npz")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "serving", "run_artifact.py"),
+             art, wav, out],
+            capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+        d = np.load(out)
+        assert d["poses"].shape == (cfg.DATASET.NUM_FRAMES, 2,
+                                    cfg.DATASET.NUM_LANDMARKS)
+        assert np.isfinite(d["poses"]).all()
