@@ -54,6 +54,19 @@ def main():
 
     seen = []
     step_fn = pipe._get_train_step()
+
+    # Compile BEFORE the first collective executes, then rendezvous at a
+    # coordinator barrier with a generous timeout.  Gloo's context init has a
+    # hardcoded 30 s key-value timeout: without this barrier, whichever worker
+    # finishes compiling first sits in gloo init while the other still
+    # compiles, and on a loaded 1-core host that skew alone exceeds 30 s.
+    first = next(iter(pipe.train_dataloader))
+    step_fn.lower(pipe.state, pipe._device_batch(first),
+                  jax.random.PRNGKey(0)).compile()
+    from jax._src import distributed as _dist
+
+    _dist.global_state.client.wait_at_barrier("sdt_mp_compiled", 600_000)
+
     losses_log = []
     for i, batch in enumerate(pipe.train_dataloader):
         seen.extend(np.asarray(batch["clip_index"]).tolist())

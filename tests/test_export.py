@@ -148,7 +148,8 @@ def test_standalone_serving_runner(rng, tmp_path):
         r = subprocess.run(
             [sys.executable, os.path.join(repo, "serving", "run_artifact.py"),
              art, wav, out],
-            capture_output=True, text=True, timeout=600)
+            capture_output=True, text=True, timeout=1800)  # CPU compile of the
+        # deserialized artifact takes minutes under full-suite host contention
         assert r.returncode == 0, r.stderr[-2000:]
         d = np.load(out)
         assert d["poses"].shape == (cfg.DATASET.NUM_FRAMES, 2,
