@@ -18,7 +18,6 @@ import argparse
 import sys
 import time
 
-import numpy as np
 
 
 def _slope_time(fn, args, iters=20):

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import ast
 import copy
-import io
 from typing import Any, Dict, List
 
 import yaml

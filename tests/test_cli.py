@@ -101,7 +101,6 @@ def test_cli_preemption_checkpoint_and_auto_resume(tmp_path):
     with TRAIN.AUTO_RESUME picks it up (the preemptible-job story end to end)."""
     import signal
     import subprocess
-    import time as _time
 
     root = str(tmp_path / "speakers")
     make_synthetic_speaker(root, "oliver", num_train=8, num_dev=0)
