@@ -56,6 +56,19 @@ def window_audio(audio: np.ndarray, num_frames: int, window_frames: int = 64,
     return out, plan
 
 
+def crossfade_ramp(window_frames: int, halo_frames: int) -> np.ndarray:
+    """Per-window blend weights: linear fades over each halo, floored so
+    weights never vanish.  Shared by the offline stitcher and the streaming
+    session (utils/streaming.py) — their bit-identical-output contract depends
+    on both using literally this ramp."""
+    ramp = np.ones(window_frames)
+    if halo_frames > 0:
+        fade_in = np.linspace(0.0, 1.0, halo_frames, endpoint=False)
+        ramp[:halo_frames] = fade_in
+        ramp[-halo_frames:] = fade_in[::-1]
+    return np.maximum(ramp, 1e-3)
+
+
 def stitch_windows(poses: np.ndarray, plan: list, num_frames: int,
                    halo_frames: int = 16) -> np.ndarray:
     """Blend per-window pose predictions back into one sequence.
@@ -68,12 +81,11 @@ def stitch_windows(poses: np.ndarray, plan: list, num_frames: int,
     out = np.zeros((num_frames,) + poses.shape[2:], dtype=np.float64)
     weight = np.zeros((num_frames, 1, 1), dtype=np.float64)
 
-    ramp = np.ones(w)
-    if halo_frames > 0 and n > 1:
-        fade_in = np.linspace(0.0, 1.0, halo_frames, endpoint=False)
-        ramp[:halo_frames] = fade_in
-        ramp[-halo_frames:] = fade_in[::-1]
-    ramp = np.maximum(ramp, 1e-3)
+    # applied unconditionally (also when n == 1): weight normalization cancels
+    # the ramp wherever only one window contributes, so the output is
+    # unchanged — and the streaming session, which cannot know n in advance,
+    # stays bit-identical
+    ramp = crossfade_ramp(w, halo_frames)
 
     for i, (start, size) in enumerate(plan):
         stop = min(start + size, num_frames)

@@ -192,15 +192,18 @@ def _mel_conv(audio: jnp.ndarray, sr, n_fft, win_length, hop_length, n_mels,
     filt = np.concatenate([cos_m * window[:, None], sin_m * window[:, None]],
                           axis=1)[:, None, :]
     pad = n_fft // 2
-    x = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)], mode="reflect")
+    lead = audio.shape[:-1]  # conv_general_dilated needs rank exactly 3 (NWC)
+    x = audio.reshape((-1, audio.shape[-1]))
+    x = jnp.pad(x, [(0, 0), (pad, pad)], mode="reflect")
     out = jax.lax.conv_general_dilated(
         x[..., None], jnp.asarray(filt), window_strides=(hop_length,),
         padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"), precision=hi)
     re, im = out[..., :n_freq], out[..., n_freq:]
-    power = re * re + im * im  # (..., T, n_freq)
+    power = re * re + im * im  # (B, T, n_freq)
     fb = jnp.asarray(_mel_filterbank_np(sr, n_fft, n_mels, f_min, f_max))
     mel = jnp.matmul(power, fb, precision=hi)
-    return jnp.swapaxes(mel, -1, -2)
+    mel = jnp.swapaxes(mel, -1, -2)
+    return mel.reshape(lead + mel.shape[1:])
 
 
 def mel_frames_for_audio_length(audio_length: int, hop_length: int = HOP_LENGTH) -> int:

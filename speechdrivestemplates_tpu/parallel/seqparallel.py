@@ -76,10 +76,15 @@ def make_sharded_resize(in_len: int, out_len: int, n: int,
     """
     assert in_len % n == 0 and out_len % n == 0, (in_len, out_len, n)
     in_l, out_l = in_len // n, out_len // n
-    W = _resize_matrix(valid_src or in_len, out_len)  # (out_len, valid_src)
-    if valid_src is not None and valid_src < in_len:
+    src_cols = in_len if valid_src is None else valid_src
+    if src_cols <= 0:
+        raise ValueError(
+            f"no valid source columns to resize from (valid_src={valid_src}): "
+            f"the clip is too short for a {n}-way sequence-parallel forward")
+    W = _resize_matrix(src_cols, out_len)  # (out_len, src_cols)
+    if src_cols < in_len:
         W = np.concatenate(
-            [W, np.zeros((out_len, in_len - valid_src), np.float32)], axis=1)
+            [W, np.zeros((out_len, in_len - src_cols), np.float32)], axis=1)
 
     # minimal halo: max overhang of any shard's rows beyond its own columns
     halo = 0
@@ -89,6 +94,15 @@ def make_sharded_resize(in_len: int, out_len: int, n: int,
         if len(cols):
             halo = max(halo, s * in_l - cols.min(), cols.max() - ((s + 1) * in_l - 1))
     halo = int(max(halo, 0))
+    if halo > in_l:
+        # _halo only exchanges with ADJACENT shards, so a halo wider than one
+        # shard cannot be satisfied — happens when the clip is much shorter
+        # than the mesh is wide
+        raise ValueError(
+            f"sequence-parallel halo ({halo}) exceeds the per-shard width "
+            f"({in_l}) for a {n}-way resize {in_len}->{out_len}: the clip is "
+            "too short to shard this many ways — use the dense demo path "
+            "(DEMO.SEQUENCE_PARALLEL False) or fewer devices")
 
     mats = np.zeros((n, out_l, in_l + 2 * halo), np.float32)
     for s in range(n):
@@ -329,6 +343,10 @@ def generator_seq_parallel(mesh: Mesh, params: Dict[str, Any], mel: np.ndarray,
     assert t_mel % (8 * n) == 0, (t_mel, n)
     assert num_frames % (32 * n) == 0, (num_frames, n)
 
+    if norm not in ("BN", "IN"):
+        # every `norm == "BN"` branch below silently falls through to the
+        # InstanceNorm path otherwise — a typo'd norm must fail loudly
+        raise ValueError(f"unknown norm {norm!r}; expected 'BN' or 'IN'")
     if norm == "BN" and not batch_stats:
         raise ValueError("norm='BN' needs the generator's batch_stats "
                          "(running mean/var) for eval-mode BatchNorm")

@@ -35,7 +35,7 @@ import optax
 from ..models import build_model
 from ..ops import pose as pose_ops
 from ..ops.fgd import compute_fgd
-from ..ops.mel import mel_spectrogram
+from ..ops.mel import mel_frames_for_audio_length, mel_spectrogram
 from ..parallel import replicate, shard_batch
 from ..utils.viz import (draw_pose_frames_in_long_img, vis_relative_pose_clip,
                          vis_relative_pose_pair_clip)
@@ -140,7 +140,7 @@ class Voice2Pose(Trainer):
 
         snapped, _ = parse_audio_length(audio_length, self.cfg.DATASET.AUDIO_SR,
                                         self.cfg.DATASET.FPS)
-        return snapped // 160 + 1
+        return mel_frames_for_audio_length(snapped)
 
     def _load_external_code(self, cfg) -> np.ndarray:
         """Template code bank = clip_code_mu buffer of a Pose2Pose checkpoint
@@ -560,7 +560,7 @@ class Voice2Pose(Trainer):
             batch = self.multiply_batch(batch, self.cfg.TEST.MULTIPLE)
 
         num_frames = int(np.asarray(batch["num_frames"])[0])
-        t_mel = batch["audio"].shape[-1] // 160 + 1
+        t_mel = mel_frames_for_audio_length(batch["audio"].shape[-1])
         step_fn = self._get_eval_step(num_frames, t_mel)
         db = self._device_batch(batch)
         losses, results = step_fn(self.state, db, self._next_rng(), None)
@@ -585,19 +585,23 @@ class Voice2Pose(Trainer):
         tag = "DEMO"
         num_frames = int(np.asarray(batch["num_frames"])[0])
         if self.cfg.DEMO.SEQUENCE_PARALLEL:
-            results = self._seq_parallel_demo_forward(batch, num_frames,
-                                                      interpolation_coeff)
+            try:
+                results = self._seq_parallel_demo_forward(batch, num_frames,
+                                                          interpolation_coeff)
+            except ValueError as e:
+                # e.g. a clip too short for the mesh's halo widths — the dense
+                # forward handles anything the sharded one can't
+                logging.warning("DEMO.SEQUENCE_PARALLEL unavailable for this "
+                                "clip (%s); using the dense forward", e)
+                results = self._dense_demo_forward(batch, num_frames,
+                                                   interpolation_coeff)
         elif (self.cfg.DEMO.WINDOWED
                 and num_frames > self.cfg.DEMO.WINDOW_FRAMES):
             results = self._windowed_demo_forward(batch, num_frames,
                                                   interpolation_coeff)
         else:
-            t_mel = batch["audio"].shape[-1] // 160 + 1
-            step_fn = self._get_eval_step(num_frames, t_mel)
-            db = self._device_batch(batch)
-            coeff = (None if interpolation_coeff is None
-                     else jnp.float32(interpolation_coeff))
-            _, results = step_fn(self.state, db, self._next_rng(), coeff)
+            results = self._dense_demo_forward(batch, num_frames,
+                                               interpolation_coeff)
 
         if self.is_master_process():
             np_results = {k: np.asarray(v) for k, v in results.items()
@@ -613,6 +617,17 @@ class Voice2Pose(Trainer):
                     self.cfg, tag, vid, t_step, epoch, long_img=long_img,
                     audio=np.asarray(batch["audio"][0]), writer=self.tb_writer,
                     base_path=self.base_path, extra_id=extra_id)
+
+    def _dense_demo_forward(self, batch, num_frames: int, interpolation_coeff):
+        """Single-forward demo (the reference's only path, trainer.py:459-484);
+        compiled once per (num_frames, t_mel)."""
+        t_mel = mel_frames_for_audio_length(batch["audio"].shape[-1])
+        step_fn = self._get_eval_step(num_frames, t_mel)
+        db = self._device_batch(batch)
+        coeff = (None if interpolation_coeff is None
+                 else jnp.float32(interpolation_coeff))
+        _, results = step_fn(self.state, db, self._next_rng(), coeff)
+        return results
 
     def _demo_code(self, batch, interpolation_coeff):
         """One style code for a whole long-form clip (fixed index + optional
@@ -702,7 +717,7 @@ class Voice2Pose(Trainer):
             fixed_code = jnp.broadcast_to(
                 code[None], (nw,) + self.state["clips_code"].shape[1:])
 
-        t_mel = windows.shape[-1] // 160 + 1
+        t_mel = mel_frames_for_audio_length(windows.shape[-1])
         step_fn = self._get_eval_step(cfg_d.WINDOW_FRAMES, t_mel)
         _, results = step_fn(self.state, self._device_batch(wbatch),
                              self._next_rng(), None, fixed_code)

@@ -58,14 +58,11 @@ class StreamingPoseSession:
         # forward's actual K afterwards
         self._num_kp = num_keypoints
 
-        # the same ramp stitch_windows uses (ops/longform.py): linear fades
-        # over each halo, floored so weights never vanish
-        ramp = np.ones(window_frames)
-        if halo_frames > 0:
-            fade_in = np.linspace(0.0, 1.0, halo_frames, endpoint=False)
-            ramp[:halo_frames] = fade_in
-            ramp[-halo_frames:] = fade_in[::-1]
-        self._ramp = np.maximum(ramp, 1e-3)[:, None, None]
+        # the ONE ramp both paths share (ops/longform.crossfade_ramp) — the
+        # bit-identical-to-offline contract depends on it
+        from ..ops.longform import crossfade_ramp
+
+        self._ramp = crossfade_ramp(window_frames, halo_frames)[:, None, None]
 
         self._audio = np.zeros((0,), np.float32)   # un-consumed tail of the stream
         self._consumed = 0                          # samples dropped off the left

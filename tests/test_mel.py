@@ -92,3 +92,24 @@ def test_sine_peak_location():
     freqs = np.linspace(0, 8000, 257)
     center = freqs[fb[:, mel.argmax()].argmax()]
     assert abs(center - 1000.0) < 120.0
+
+
+def test_mel_conv_impl_rank_agnostic():
+    """impl='conv' must honor the (..., L) contract like the other impls
+    (regression: conv_general_dilated needs rank exactly 3)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from speechdrivestemplates_tpu.ops.mel import mel_spectrogram
+
+    rng = np.random.RandomState(0)
+    a1 = jnp.asarray(rng.randn(16000).astype(np.float32))
+    a3 = jnp.asarray(rng.randn(2, 3, 16000).astype(np.float32))
+    m1 = np.asarray(mel_spectrogram(a1, impl="conv"))
+    m2 = np.asarray(mel_spectrogram(a1[None], impl="conv"))[0]
+    np.testing.assert_allclose(m1, m2, rtol=1e-6, atol=1e-6)
+    m3 = np.asarray(mel_spectrogram(a3, impl="conv"))
+    assert m3.shape[:2] == (2, 3) and m3.shape[2] == 80
+    m3_flat = np.asarray(mel_spectrogram(a3.reshape(6, 16000), impl="conv"))
+    np.testing.assert_allclose(m3.reshape(6, *m3.shape[2:]), m3_flat,
+                               rtol=1e-6, atol=1e-6)

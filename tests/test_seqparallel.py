@@ -171,3 +171,26 @@ def test_seq_parallel_matches_dense_bn(mesh8):
         leaky=cfg.VOICE2POSE.GENERATOR.LEAKY_RELU, norm="BN",
         batch_stats=variables["batch_stats"]))
     np.testing.assert_allclose(sharded, dense, rtol=2e-4, atol=2e-4)
+
+
+def test_short_clip_raises_clear_error():
+    """A clip far shorter than the mesh is wide cannot satisfy the adjacent-
+    shard halo exchange; make_sharded_resize must fail with an actionable
+    error instead of a cryptic slice crash (and the demo path falls back to
+    the dense forward — see test_end_to_end/demo coverage)."""
+    from speechdrivestemplates_tpu.parallel.seqparallel import \
+        make_sharded_resize
+
+    with pytest.raises(ValueError, match="too short"):
+        # 1 s of audio on an 8-way mesh: t_mel-ish 128 -> 256 frames
+        make_sharded_resize(16, 256, 8, valid_src=2)
+
+
+def test_unknown_norm_raises(mesh8):
+    from speechdrivestemplates_tpu.parallel.seqparallel import \
+        generator_seq_parallel
+
+    with pytest.raises(ValueError, match="unknown norm"):
+        generator_seq_parallel(mesh8, {}, np.zeros((1, 80, 64 * 8),
+                                                     np.float32),
+                               32 * 8, None, norm="bn")
