@@ -241,6 +241,14 @@ class GestureDataset:
                 audio = audio[start: start + max_length]
         audio_length, num_frames = parse_audio_length(
             len(audio), self.cfg.AUDIO_SR, self.cfg.FPS)
+        if num_frames < self.cfg.NUM_FRAMES:
+            # the generator's UNet has 6 stride-2 levels, so clips shorter
+            # than one training window (NUM_FRAMES) underflow it — in the
+            # reference too (its torch UNet hits zero-length convs the same
+            # way).  Zero-pad short demo audio up to one window; the output
+            # simply covers the padded silence.
+            num_frames = self.cfg.NUM_FRAMES
+            audio_length = int(num_frames * self.cfg.AUDIO_SR / self.cfg.FPS)
         audio = crop_pad_audio(audio, audio_length)
         stat = self.get_speaker_stat(self.speaker, 121, self.cfg.HIERARCHICAL_POSE)
         return {

@@ -620,13 +620,23 @@ class Voice2Pose(Trainer):
 
     def _dense_demo_forward(self, batch, num_frames: int, interpolation_coeff):
         """Single-forward demo (the reference's only path, trainer.py:459-484);
-        compiled once per (num_frames, t_mel)."""
+        compiled once per (num_frames, t_mel).  Demo batches are size 1, so on
+        a >1-device data mesh the batch is tiled to the mesh width (every
+        device computes the same sample) and the results trimmed back."""
+        B = int(np.asarray(batch["audio"]).shape[0])
+        n = self.mesh.size
+        if n > 1 and B % n:
+            batch = self.multiply_batch(batch, n)
         t_mel = mel_frames_for_audio_length(batch["audio"].shape[-1])
         step_fn = self._get_eval_step(num_frames, t_mel)
         db = self._device_batch(batch)
         coeff = (None if interpolation_coeff is None
                  else jnp.float32(interpolation_coeff))
         _, results = step_fn(self.state, db, self._next_rng(), coeff)
+        if n > 1 and B % n:
+            results = {k: (np.asarray(v)[:B] if v is not None
+                           and np.ndim(v) >= 1 else v)
+                       for k, v in results.items()}
         return results
 
     def _demo_code(self, batch, interpolation_coeff):
