@@ -200,14 +200,25 @@ def export_pose2pose(state: Dict[str, Any],
 
 
 def save_torch_checkpoint(out_path: str, state_dict: Dict[str, np.ndarray],
-                          epoch: int = 0, step: int = 0) -> None:
+                          epoch: int = 0, step: int = 0,
+                          data_parallel_prefix: bool = True) -> None:
     """Write the reference's checkpoint layout: ``{epoch, step,
-    model_state_dict}`` with torch tensors (reference trainer.py:305-321)."""
+    model_state_dict}`` with torch tensors (reference trainer.py:305-321).
+
+    ``data_parallel_prefix`` prepends ``module.`` to every key: the reference
+    always wraps its model in DataParallel/DDP *before* ``load_state_dict``
+    (reference voice2pose.py:221-231), so its checkpoints carry (and its
+    STRICT_LOADING path requires) the prefix; it even indexes
+    ``state_dict['module.clips_code']`` directly (voice2pose.py:62).  Our
+    importer strips the prefix (torch_import.py), so round trips are
+    unaffected.  Pass False only when feeding bare unwrapped modules."""
     import torch
 
+    prefix = "module." if data_parallel_prefix else ""
     torch.save({"epoch": int(epoch), "step": int(step),
-                "model_state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
-                                     for k, v in state_dict.items()}},
+                "model_state_dict": {
+                    prefix + k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in state_dict.items()}},
                out_path)
 
 

@@ -91,8 +91,10 @@ def test_cli_export_torch(tmp_path):
 
     ckpt = torch.load(pth, map_location="cpu", weights_only=False)
     sd = ckpt["model_state_dict"]
-    assert any(k.startswith("netG.") for k in sd)
-    assert "clips_code" in sd and sd["clips_code"].shape == (4, 32)
+    # keys must carry the DataParallel prefix: the reference wraps before
+    # load_state_dict and indexes state_dict['module.clips_code'] directly
+    assert any(k.startswith("module.netG.") for k in sd)
+    assert "module.clips_code" in sd and sd["module.clips_code"].shape == (4, 32)
     assert ckpt["epoch"] == 1
 
 

@@ -225,15 +225,18 @@ def test_export_pose2pose_checkpoint(ref_networks, rng, tmp_path):
     pth = str(tmp_path / "p2p.pth")
     save_torch_checkpoint(pth, export_pose2pose(state), epoch=3, step=30)
 
-    model = Pose2PoseModel(cfg, num_train_samples=8)
+    # load the way the reference does: DataParallel-wrapped (reference
+    # voice2pose.py:221-231) -> exported keys must carry 'module.'
+    model = torch.nn.DataParallel(Pose2PoseModel(cfg, num_train_samples=8))
     ckpt = torch.load(pth, map_location="cpu", weights_only=False)
     assert (ckpt["epoch"], ckpt["step"]) == (3, 30)
+    assert all(k.startswith("module.") for k in ckpt["model_state_dict"])
     missing, unexpected = model.load_state_dict(ckpt["model_state_dict"],
                                                 strict=False)
     # only the stubbed-vs-real torchaudio mel buffer names may differ
     assert all("mel_transfm" in k for k in list(missing) + list(unexpected)), (
         missing, unexpected)
-    np.testing.assert_array_equal(model.clip_code_mu.numpy(),
+    np.testing.assert_array_equal(model.module.clip_code_mu.numpy(),
                                   np.asarray(state["clip_code_mu"]))
 
     # and the import path round-trips it
