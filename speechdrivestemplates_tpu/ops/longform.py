@@ -21,7 +21,9 @@ from typing import Tuple
 
 import numpy as np
 
-SAMPLES_PER_FRAME = 16000 / 15  # reference audio rate / fps
+AUDIO_SR = 16000  # reference audio sample rate (gesture_dataset.py:61)
+VIDEO_FPS = 15    # reference video frame rate
+SAMPLES_PER_FRAME = AUDIO_SR / VIDEO_FPS
 
 
 def plan_windows(num_frames: int, window_frames: int = 64,

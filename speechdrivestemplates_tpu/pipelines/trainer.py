@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import logging
 import os
+import re
 import time
 from abc import abstractmethod
 from datetime import datetime
@@ -240,9 +241,15 @@ class Trainer:
         previous good checkpoint instead of crash-looping."""
         if not os.path.isdir(root):
             return []
+        # dirs are '<datetime>_<exp_tag>' with datetime =
+        # 'YYYY-MM-DD_HH-MM-SS-micros' (setup_experiment); require EXACT tag
+        # equality after the datetime — endswith('_'+tag) would also resume
+        # from e.g. 'my_run' when our tag is 'run'.
+        dt_re = re.compile(r"^\d{4}-\d{2}-\d{2}_\d{2}-\d{2}-\d{2}(-\d+)?_")
         found = []
         for d in sorted(os.listdir(root)):
-            if not d.endswith("_" + exp_tag):
+            m = dt_re.match(d)
+            if not m or d[m.end():] != exp_tag:
                 continue
             ckdir = os.path.join(root, d, "checkpoints")
             if not os.path.isdir(ckdir):

@@ -86,10 +86,14 @@ class StreamingPoseSession:
         this much audio.  Deriving readiness from raw sample arithmetic
         instead would diverge at exact boundary lengths (int(W*spf) rounds
         below W*spf) and break the offline-identical contract."""
+        from ..ops.longform import AUDIO_SR, VIDEO_FPS
         from .audio import parse_audio_length
 
+        # sr/fps MUST be the constants SAMPLES_PER_FRAME (and therefore
+        # window_samples) is derived from, or readiness and window bounds
+        # silently disagree
         return parse_audio_length(self._consumed + len(self._audio),
-                                  16000, 15)[1]
+                                  AUDIO_SR, VIDEO_FPS)[1]
 
     def _run_window(self, start_frame: int, audio_win: np.ndarray):
         poses = np.asarray(self.forward_fn(audio_win[None]))[0]

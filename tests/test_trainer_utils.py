@@ -104,14 +104,15 @@ def test_resolve_checkpoint_raises_when_empty(tmp_path):
 
 def test_find_auto_resume(tmp_path):
     tag = "voice2pose_sdt_bp-TRAIN-oliver"
-    # two prior runs for this tag + one for a different tag
-    for dt, pairs in [("2026-01-01_a", [(1, 10), (2, 20)]),
-                      ("2026-01-02_b", [(3, 30)])]:
+    # dir names use setup_experiment's real layout: <datetime>_<tag> with
+    # datetime = YYYY-MM-DD_HH-MM-SS-micros
+    for dt, pairs in [("2026-01-01_10-00-00-000001", [(1, 10), (2, 20)]),
+                      ("2026-01-02_10-00-00-000001", [(3, 30)])]:
         ck = tmp_path / f"{dt}_{tag}" / "checkpoints"
         ck.mkdir(parents=True)
         for e, s in pairs:
             (ck / f"checkpoint_epoch-{e}_step-{s}").mkdir()
-    other = tmp_path / f"2026-01-03_c_{tag}x" / "checkpoints"
+    other = tmp_path / f"2026-01-03_10-00-00-000001_{tag}x" / "checkpoints"
     other.mkdir(parents=True)
     (other / "checkpoint_epoch-99_step-990").mkdir()
 
@@ -121,21 +122,40 @@ def test_find_auto_resume(tmp_path):
     assert Trainer.find_auto_resume(str(tmp_path), "unknown-tag") is None
     assert Trainer.find_auto_resume(str(tmp_path / "missing"), tag) is None
     # a run dir without checkpoints must not break the scan
-    (tmp_path / f"2026-01-04_d_{tag}").mkdir()
+    (tmp_path / f"2026-01-04_10-00-00-000001_{tag}").mkdir()
     assert Trainer.find_auto_resume(str(tmp_path), tag).endswith(
         "checkpoint_epoch-3_step-30")
+    # micros-less datetime (str(datetime) drops '.0') still matches
+    ck = tmp_path / f"2026-01-05_10-00-00_{tag}" / "checkpoints"
+    ck.mkdir(parents=True)
+    (ck / "checkpoint_epoch-4_step-40").mkdir()
+    assert Trainer.find_auto_resume(str(tmp_path), tag).endswith(
+        "checkpoint_epoch-4_step-40")
+
+
+def test_find_auto_resume_requires_exact_tag(tmp_path):
+    """A tag that is an underscore-suffix of another tag ('run' vs 'my_run')
+    must NOT match the other experiment's directories."""
+    dt = "2026-01-01_10-00-00-000001"
+    ck = tmp_path / f"{dt}_my_run" / "checkpoints"
+    ck.mkdir(parents=True)
+    (ck / "checkpoint_epoch-7_step-70").mkdir()
+
+    assert Trainer.find_auto_resume(str(tmp_path), "run") is None
+    got = Trainer.find_auto_resume(str(tmp_path), "my_run")
+    assert got is not None and got.endswith("checkpoint_epoch-7_step-70")
 
 
 def test_find_auto_resume_candidates_order(tmp_path):
     tag = "p-TRAIN-t"
-    for dt, pairs in [("2026-01-01_a", [(1, 10), (3, 30)]),
-                      ("2026-01-02_b", [(2, 20)])]:
+    for dt, pairs in [("2026-01-01_10-00-00-000001", [(1, 10), (3, 30)]),
+                      ("2026-01-02_10-00-00-000001", [(2, 20)])]:
         ck = tmp_path / f"{dt}_{tag}" / "checkpoints"
         ck.mkdir(parents=True)
         for e, s in pairs:
             (ck / f"checkpoint_epoch-{e}_step-{s}").mkdir()
     # unparseable names must not be offered as candidates
-    (tmp_path / f"2026-01-01_a_{tag}" / "checkpoints"
+    (tmp_path / f"2026-01-01_10-00-00-000001_{tag}" / "checkpoints"
      / "checkpoint_garbage").mkdir()
 
     cands = Trainer.find_auto_resume_candidates(str(tmp_path), tag)
@@ -189,3 +209,38 @@ def test_auto_resume_skips_corrupt_checkpoint(tmp_path):
     base_path, epoch, step = fresh.setup_experiment(True, tag)
     assert (epoch, step) == (1, 10)
     assert base_path == pipe.base_path  # resumed into the original exp dir
+
+
+@pytest.mark.parametrize("num_epochs", [3, 5, 8, 10, 11, 12, 30, 100])
+def test_multistep_lr_matches_torch(num_epochs):
+    """_multistep_lr == torch.optim.lr_scheduler.MultiStepLR at milestones
+    [N-10, N-2], gamma 0.1 (reference voice2pose.py:253-257) — including the
+    small-N regimes where a milestone is negative (never fires) or zero
+    (fires at scheduler construction)."""
+    import torch
+
+    from speechdrivestemplates_tpu.pipelines.voice2pose import _multistep_lr
+
+    spe = 4  # steps per epoch
+    sched = _multistep_lr(1.0, num_epochs, spe, enabled=True)
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=1.0)
+    tsched = torch.optim.lr_scheduler.MultiStepLR(
+        opt, [num_epochs - 10, num_epochs - 2], gamma=0.1)
+
+    for epoch in range(num_epochs):
+        want = opt.param_groups[0]["lr"]
+        for s in range(epoch * spe, (epoch + 1) * spe):
+            got = float(sched(s)) if callable(sched) else float(sched)
+            np.testing.assert_allclose(got, want, rtol=1e-6, err_msg=(
+                f"N={num_epochs} epoch={epoch} step={s}"))
+        opt.step()
+        tsched.step()
+
+
+def test_multistep_lr_disabled_and_zero_steps():
+    from speechdrivestemplates_tpu.pipelines.voice2pose import _multistep_lr
+
+    assert _multistep_lr(0.5, 100, 4, enabled=False) == 0.5
+    assert _multistep_lr(0.5, 100, 0, enabled=True) == 0.5
