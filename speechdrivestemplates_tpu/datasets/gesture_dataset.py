@@ -61,8 +61,12 @@ class GestureDataset:
             self.clips = pd.concat(frames).reset_index(drop=True)
         elif split == "demo":
             if len(demo_input.split()) == 1 and os.path.isdir(demo_input):
-                file_list = os.listdir(demo_input)
-                np.random.shuffle(file_list)
+                # deterministic (SURVEY §5): seeded shuffle over a SORTED
+                # listing, so the same command samples the same clips — the
+                # reference uses the global RNG here (gesture_dataset.py:30)
+                # and is unreproducible
+                file_list = sorted(os.listdir(demo_input))
+                np.random.default_rng(cfg.SYS.SEED).shuffle(file_list)
                 file_list = [f for f in file_list[:1000] if f.split(".")[-1] == "wav"]
                 file_list = file_list[: cfg.DEMO.NUM_SAMPLES]
                 self.clips = [os.path.join(demo_input, f) for f in file_list]
@@ -237,7 +241,11 @@ class GestureDataset:
         if self.cfg.MAX_DEMO_LENGTH is not None:
             max_length = self.cfg.MAX_DEMO_LENGTH * self.cfg.AUDIO_SR
             if len(audio) > max_length:
-                start = np.random.randint(0, len(audio) - max_length)
+                # per-item seeded crop: same run -> same window (the
+                # reference's np.random.randint is unreproducible)
+                start = int(np.random.default_rng(
+                    self.full_cfg.SYS.SEED + idx).integers(
+                        0, len(audio) - max_length))
                 audio = audio[start: start + max_length]
         audio_length, num_frames = parse_audio_length(
             len(audio), self.cfg.AUDIO_SR, self.cfg.FPS)

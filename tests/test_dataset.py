@@ -154,3 +154,33 @@ def test_soa_cache_promotion_and_equality(data_root):
     s = ds[2]
     np.testing.assert_array_equal(s["poses"], ds2[2]["poses"])
     assert s["num_frames"] == ds2[2]["num_frames"]
+
+
+def test_demo_split_deterministic(data_root, tmp_path):
+    """Demo directory sampling and MAX_DEMO_LENGTH cropping are seeded from
+    SYS.SEED: the same command selects the same clips and crops the same
+    windows (SURVEY §5 determinism; the reference uses the global RNG)."""
+    demo_dir = tmp_path / "wavs"
+    demo_dir.mkdir()
+    for i in range(6):
+        make_demo_wav(str(demo_dir / f"clip{i}.wav"), seconds=2.0 + 0.5 * i)
+
+    cfg = _cfg(data_root)
+    cfg.DEMO.NUM_SAMPLES = 3
+    cfg.DATASET.MAX_DEMO_LENGTH = 3  # seconds -> long clips get cropped
+
+    def run():
+        ds = get_dataset("GestureDataset")(data_root, "oliver", "demo", cfg,
+                                           demo_input=str(demo_dir))
+        return list(ds.clips), [ds[i]["audio"] for i in range(len(ds))]
+
+    clips_a, audio_a = run()
+    clips_b, audio_b = run()
+    assert clips_a == clips_b
+    for a, b in zip(audio_a, audio_b):
+        np.testing.assert_array_equal(a, b)
+
+    # a different seed reshuffles (6 files, 3 picked -> overwhelmingly likely)
+    cfg.SYS.SEED = 1234
+    clips_c, _ = run()
+    assert set(clips_c) <= {str(demo_dir / f"clip{i}.wav") for i in range(6)}
