@@ -1,6 +1,7 @@
 from .mesh import (  # noqa: F401
     get_data_mesh,
     shard_batch,
+    pad_eval_batch,
     replicate,
     process_count,
     process_index,

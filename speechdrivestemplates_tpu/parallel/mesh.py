@@ -82,6 +82,46 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     return jax.tree.map(put, batch)
 
 
+def pad_eval_batch(mesh: Mesh, batch: Any):
+    """Pad an eval batch's leading axis up to the mesh's device multiple.
+
+    Eval loaders have no ``drop_last`` (reference semantics: ANY val-split
+    size evaluates, reference trainer.py:104-123), so the last batch can be
+    ragged while ``shard_batch`` requires the local batch to divide the local
+    device count.  Pad rows are edge-repeats of the final sample; their
+    contribution is sliced away INSIDE the jitted eval step via the returned
+    global ``valid`` row indices, so every loss/metric is computed on exactly
+    the true rows (no mask plumbing, and sharper than the reference, whose
+    ragged-batch loss accumulation is biased by ``* TEST.BATCH_SIZE``).
+
+    Returns ``(padded_batch, valid, sig)``: ``valid`` is the np.int32 array of
+    global row indices holding real samples (None when no padding needed),
+    and ``sig`` a small hashable tuple identifying the pad geometry for jit
+    cache keys.  Multi-process: every process must hold the same local batch
+    size (the DataLoader's shard padding guarantees it) and the global array
+    is the process-order concatenation of local shards, so the valid rows are
+    a strided pattern, not a prefix.
+    """
+    nproc = jax.process_count()
+    n_local = max(1, mesh.size // nproc)
+    leaves = jax.tree.leaves(batch)
+    assert leaves, "empty eval batch"
+    B = int(np.asarray(leaves[0]).shape[0])
+    pad = (-B) % n_local
+    if pad == 0:
+        return batch, None, None
+
+    def pad_leaf(x):
+        x = np.asarray(x)
+        return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+
+    padded = jax.tree.map(pad_leaf, batch)
+    per = B + pad
+    valid = np.concatenate(
+        [p * per + np.arange(B) for p in range(nproc)]).astype(np.int32)
+    return padded, valid, (B, pad, nproc)
+
+
 def replicate(mesh: Mesh, tree: Any) -> Any:
     """Place a pytree fully replicated across the mesh (every process passes
     the same host values; multi-process assembly via make_array_from_callback)."""

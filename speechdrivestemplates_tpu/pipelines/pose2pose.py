@@ -26,7 +26,7 @@ import optax
 
 from ..models import build_model
 from ..ops import pose as pose_ops
-from ..parallel import replicate, shard_batch
+from ..parallel import pad_eval_batch, replicate, shard_batch
 from ..utils.viz import (draw_pose_frames_in_long_img, vis_relative_pose_clip,
                          vis_relative_pose_pair_clip)
 from .trainer import Trainer
@@ -174,10 +174,17 @@ class Pose2Pose(Trainer):
 
         return jax.jit(step, donate_argnums=(0,))
 
-    def _build_eval_step(self, multiple: int):
+    def _build_eval_step(self, multiple: int, valid=None):
         num_frames = self.num_frames
+        valid_idx = None if valid is None else jnp.asarray(valid)
 
         def step(state, batch, rng, external_code):
+            if valid_idx is not None:
+                # ragged batch padded to the device multiple (pad_eval_batch):
+                # statically gather the true rows before any loss/metric
+                batch = jax.tree.map(lambda x: x[valid_idx], batch)
+                if external_code is not None:
+                    external_code = external_code[valid_idx]
             (pred, mu, logvar), _ = self._apply_ae(
                 state["params_ae"], state["batch_stats_ae"],
                 batch.get("poses"), num_frames, external_code, rng, False)
@@ -194,16 +201,22 @@ class Pose2Pose(Trainer):
 
         return jax.jit(step)
 
-    def _get_step(self, kind: str, multiple: int = 1):
-        key = (kind, multiple)
+    def _get_step(self, kind: str, multiple: int = 1, valid=None, pad_sig=None):
+        key = (kind, multiple, pad_sig)
         if key not in self._jit_cache:
             self._jit_cache[key] = (self._build_train_step() if kind == "train"
-                                    else self._build_eval_step(multiple))
+                                    else self._build_eval_step(multiple, valid))
         return self._jit_cache[key]
 
     def _device_batch(self, batch):
         keys = ("poses", "clip_index", "speaker_stat")
         return shard_batch(self.mesh, {k: batch[k] for k in keys if k in batch})
+
+    def _device_eval_batch(self, batch):
+        keys = ("poses", "clip_index", "speaker_stat")
+        db = {k: batch[k] for k in keys if k in batch}
+        db, valid, sig = pad_eval_batch(self.mesh, db)
+        return shard_batch(self.mesh, db), valid, sig
 
     def _next_rng(self):
         self._train_rng, sub = jax.random.split(self._train_rng)
@@ -227,11 +240,12 @@ class Pose2Pose(Trainer):
     def test_step(self, batch, t_step, epoch=0):
         tag = "TEST" if epoch == 0 else "VAL"
         assert isinstance(self.cfg.TEST.MULTIPLE, int) and self.cfg.TEST.MULTIPLE >= 1
+        true_bs = int(np.asarray(batch["poses"]).shape[0])
         if self.cfg.TEST.MULTIPLE > 1:
             batch = self.multiply_batch(batch, self.cfg.TEST.MULTIPLE)
-        step_fn = self._get_step("eval", self.cfg.TEST.MULTIPLE)
-        losses, results = step_fn(self.state, self._device_batch(batch),
-                                  self._next_rng(), None)
+        db, valid, sig = self._device_eval_batch(batch)
+        step_fn = self._get_step("eval", self.cfg.TEST.MULTIPLE, valid, sig)
+        losses, results = step_fn(self.state, db, self._next_rng(), None)
 
         if self.is_master_process():
             if t_step % self.cfg.SYS.LOG_INTERVAL == 0:
@@ -241,8 +255,9 @@ class Pose2Pose(Trainer):
                                           self.cfg.TEST.SAVE_NPZ,
                                           self.cfg.TEST.SAVE_VIDEO)
 
-        batch_losses = {k: np.asarray(v) * self.cfg.TEST.BATCH_SIZE
-                        for k, v in losses.items()}
+        # exact epoch weighting: means over true rows × global true count
+        weight = true_bs * jax.process_count()
+        batch_losses = {k: np.asarray(v) * weight for k, v in losses.items()}
         return batch_losses, {}
 
     def demo_step(self, batch, t_step, epoch=0, extra_id=None,
@@ -255,9 +270,13 @@ class Pose2Pose(Trainer):
         code = np.load(self.cfg.DEMO.CODE_PATH)["v"][idx] * 10
         code = jnp.asarray(code, jnp.float32)[None]
 
-        step_fn = self._get_step("eval")
-        _, results = step_fn(self.state, self._device_batch(batch),
-                             self._next_rng(), code)
+        db, valid, sig = self._device_eval_batch(batch)
+        if sig is not None:
+            # batch-1 demo on a >1-device mesh: tile the code over the padded
+            # rows; the eval step slices back to the true row
+            code = jnp.broadcast_to(code, (sig[0] + sig[1],) + code.shape[1:])
+        step_fn = self._get_step("eval", valid=valid, pad_sig=sig)
+        _, results = step_fn(self.state, db, self._next_rng(), code)
 
         if self.is_master_process():
             np_results = {k: np.asarray(v) for k, v in results.items()

@@ -36,7 +36,7 @@ from ..models import build_model
 from ..ops import pose as pose_ops
 from ..ops.fgd import compute_fgd
 from ..ops.mel import mel_frames_for_audio_length, mel_spectrogram
-from ..parallel import replicate, shard_batch
+from ..parallel import pad_eval_batch, replicate, shard_batch
 from ..utils.viz import (draw_pose_frames_in_long_img, vis_relative_pose_clip,
                          vis_relative_pose_pair_clip)
 from .trainer import Trainer
@@ -45,12 +45,33 @@ from .trainer import Trainer
 def _multistep_lr(base_lr: float, num_epochs: int, steps_per_epoch: int,
                   enabled: bool):
     """MultiStepLR at epochs [N-10, N-2], gamma 0.1 (reference voice2pose.py:253-257),
-    expressed as an optax step-indexed piecewise-constant schedule."""
+    expressed as an optax step-indexed piecewise-constant schedule.
+
+    torch semantics (torch.optim.lr_scheduler.MultiStepLR, pinned by
+    tests/test_trainer_utils.py against the real scheduler): lr during epoch
+    ``e`` is ``base * 0.1 ** |{m in milestones : 0 <= m <= e}|`` — a NEGATIVE
+    milestone (NUM_EPOCHS < 10) never fires because the epoch counter starts
+    at 0, and milestone 0 fires at scheduler construction, scaling the lr
+    from the very first step.  Repeated milestones would compound (gamma^2)
+    via torch's Counter; [N-10, N-2] are always distinct so only the
+    never/at-init cases arise here."""
     if not enabled or steps_per_epoch <= 0:
         return base_lr
-    b1 = max(1, (num_epochs - 10) * steps_per_epoch)
-    b2 = max(2, (num_epochs - 2) * steps_per_epoch)
-    return optax.piecewise_constant_schedule(base_lr, {b1: 0.1, b2: 0.1})
+    scale0 = 1.0
+    boundaries = {}
+    for m in (num_epochs - 10, num_epochs - 2):
+        if m == 0:
+            scale0 *= 0.1
+        elif m > 0:
+            b = m * steps_per_epoch
+            boundaries[b] = boundaries.get(b, 1.0) * 0.1
+        # m < 0: torch never reaches it — no decay
+    if not boundaries:
+        return base_lr * scale0
+    # optax piecewise_constant applies the scale for count >= boundary, i.e.
+    # from the first optimizer step of epoch m — matching torch's
+    # end-of-epoch(m-1) scheduler.step()
+    return optax.piecewise_constant_schedule(base_lr * scale0, boundaries)
 
 
 def _adam(lr, wd: float = 0.0):
@@ -471,10 +492,18 @@ class Voice2Pose(Trainer):
 
         return jax.jit(step, donate_argnums=(0,))
 
-    def _build_eval_step(self, num_frames: int):
+    def _build_eval_step(self, num_frames: int, valid=None):
         mel_impl = self.cfg.SYS.MEL_IMPL
+        valid_idx = None if valid is None else jnp.asarray(valid)
 
         def step(state, batch, rng, interpolation_coeff, fixed_code=None):
+            if valid_idx is not None:
+                # ragged last batch, padded to the device multiple by
+                # pad_eval_batch: statically gather the true rows so every
+                # loss/metric below runs on exactly the real samples
+                batch = jax.tree.map(lambda x: x[valid_idx], batch)
+                if fixed_code is not None:
+                    fixed_code = fixed_code[valid_idx]
             mel = mel_spectrogram(batch["audio"], impl=mel_impl)
             code = (fixed_code if fixed_code is not None
                     else self._condition_code(state, batch, False, rng,
@@ -518,12 +547,15 @@ class Voice2Pose(Trainer):
             self._jit_cache[key] = self._build_train_step(self.num_frames)
         return self._jit_cache[key]
 
-    def _get_eval_step(self, num_frames: int, t_mel: int):
+    def _get_eval_step(self, num_frames: int, t_mel: int, valid=None,
+                       pad_sig=None):
         # t_mel is part of the cache key only: jit retraces per audio shape
         # anyway, but keying keeps one Python closure per compiled shape.
-        key = ("eval", num_frames, t_mel)
+        # pad_sig identifies the ragged-batch pad geometry (one extra compile
+        # for the dataset's final ragged batch).
+        key = ("eval", num_frames, t_mel, pad_sig)
         if key not in self._jit_cache:
-            self._jit_cache[key] = self._build_eval_step(num_frames)
+            self._jit_cache[key] = self._build_eval_step(num_frames, valid)
         return self._jit_cache[key]
 
     # -- batch marshalling -----------------------------------------------------------
@@ -533,6 +565,13 @@ class Voice2Pose(Trainer):
     def _device_batch(self, batch):
         db = {k: batch[k] for k in self._DEVICE_KEYS if k in batch}
         return shard_batch(self.mesh, db)
+
+    def _device_eval_batch(self, batch):
+        """Eval marshalling: pad a ragged batch to the device multiple and
+        return (sharded_batch, valid_global_rows, pad_sig)."""
+        db = {k: batch[k] for k in self._DEVICE_KEYS if k in batch}
+        db, valid, sig = pad_eval_batch(self.mesh, db)
+        return shard_batch(self.mesh, db), valid, sig
 
     def _next_rng(self):
         self._eval_rng, sub = jax.random.split(self._eval_rng)
@@ -556,13 +595,18 @@ class Voice2Pose(Trainer):
     def test_step(self, batch, t_step, epoch=0):
         tag = "TEST" if epoch == 0 else "VAL"
         assert isinstance(self.cfg.TEST.MULTIPLE, int) and self.cfg.TEST.MULTIPLE >= 1
+        # true (unmultiplied, per-process) sample count of this batch — the
+        # exact weight for the epoch loss sum (the reference weights every
+        # batch by TEST.BATCH_SIZE, biasing the ragged last one; reference
+        # voice2pose.py:380 note in SURVEY §3.2)
+        true_bs = int(np.asarray(batch["audio"]).shape[0])
         if self.cfg.TEST.MULTIPLE > 1:
             batch = self.multiply_batch(batch, self.cfg.TEST.MULTIPLE)
 
         num_frames = int(np.asarray(batch["num_frames"])[0])
         t_mel = mel_frames_for_audio_length(batch["audio"].shape[-1])
-        step_fn = self._get_eval_step(num_frames, t_mel)
-        db = self._device_batch(batch)
+        db, valid, sig = self._device_eval_batch(batch)
+        step_fn = self._get_eval_step(num_frames, t_mel, valid, sig)
         losses, results = step_fn(self.state, db, self._next_rng(), None)
 
         if self.is_master_process():
@@ -573,8 +617,10 @@ class Voice2Pose(Trainer):
                                           save_npz=self.cfg.TEST.SAVE_NPZ,
                                           save_video=self.cfg.TEST.SAVE_VIDEO)
 
-        batch_losses = {k: np.asarray(v) * self.cfg.TEST.BATCH_SIZE
-                        for k, v in losses.items()}
+        # losses are means over the global true rows; weight by the global
+        # true sample count so the epoch ÷ num_test_samples is exact
+        weight = true_bs * jax.process_count()
+        batch_losses = {k: np.asarray(v) * weight for k, v in losses.items()}
         batch_results = {k: np.asarray(v) for k, v in results.items()
                          if k in ("mu_pred", "mu_gt", "logvar_pred", "logvar_gt",
                                   "condition_code") and v is not None}

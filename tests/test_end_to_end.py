@@ -161,3 +161,75 @@ def test_sdt_vae_external_code_from_p2p_checkpoint(data_root, tmp_path):
     # external bank must equal the p2p mu bank (frozen; no optimizer on it)
     np.testing.assert_allclose(np.asarray(pipe2.state["clips_code"]),
                                np.asarray(pipe.state["clip_code_mu"]), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_ragged_eval_multi_device(data_root, tmp_path):
+    """Eval on an 8-device mesh with a val count NOT divisible by the device
+    count: the ragged last batch pads to the device multiple, losses are
+    computed on exactly the true rows (pad_eval_batch + in-step slicing), and
+    the epoch losses EQUAL a 1-device run on the same checkpoint — the
+    reference's eval-any-size semantics (reference trainer.py:104-123,429-457)
+    under TPU meshes."""
+    root = str(tmp_path / "speakers")
+    # 6 dev clips: batch 8 on 8 devices -> one batch of 6 -> pad 2
+    make_synthetic_speaker(root, "oliver", num_train=8, num_dev=6)
+    out = str(tmp_path / "out")
+
+    cfg = _base_cfg("voice2pose_sdt_bp.yaml", root, out)
+    cfg.SYS.MESH.DATA = -1  # all 8 virtual devices
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.TEST.BATCH_SIZE = 8
+    cfg.TRAIN.VALIDATE = True  # exercises the ragged VAL path during training
+    # deterministic eval code (fixed bank row) so losses are comparable
+    # across different batch groupings (the default eval mode samples a
+    # random bank row per batch)
+    cfg.DEMO.CODE_INDEX = 0
+    cfg.freeze()
+    pipe = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
+    pipe.train(cfg, "ragged-TRAIN", None)
+    ckpt = _latest_ckpt(out)
+
+    losses_8 = get_pipeline(cfg.PIPELINE_TYPE)(cfg).test(cfg, "ragged-TEST8",
+                                                         ckpt)
+    assert np.isfinite(float(losses_8["L2_dist"]))
+
+    cfg1 = cfg.clone()
+    cfg1.defrost()
+    cfg1.SYS.MESH.DATA = 1
+    cfg1.TEST.BATCH_SIZE = 4  # different batching; 6 = 4 + ragged 2
+    cfg1.freeze()
+    losses_1 = get_pipeline(cfg1.PIPELINE_TYPE)(cfg1).test(cfg1, "ragged-TEST1",
+                                                           ckpt)
+
+    # batch-separable metrics must agree between meshes/batchings (the KL is
+    # batch-statistics-based, so it legitimately depends on batch grouping;
+    # FGD is an epoch metric over identical accumulated rows)
+    for k in ("G_reg_loss", "L2_dist", "lip_sync_error_n", "FGD_mu",
+              "FGD_mu_logvar"):
+        np.testing.assert_allclose(
+            float(losses_8[k]), float(losses_1[k]), rtol=2e-5,
+            err_msg=f"{k} differs between 8-device and 1-device eval")
+
+
+@pytest.mark.slow
+def test_ragged_eval_pose2pose(data_root, tmp_path):
+    """Pose2Pose --test_only with a ragged val split on the 8-device mesh."""
+    root = str(tmp_path / "speakers")
+    make_synthetic_speaker(root, "oliver", num_train=8, num_dev=3)
+    out = str(tmp_path / "out")
+
+    cfg = _base_cfg("pose2pose.yaml", root, out)
+    cfg.SYS.MESH.DATA = -1
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.TEST.BATCH_SIZE = 8  # 3 dev clips -> single ragged batch of 3
+    cfg.TRAIN.VALIDATE = False
+    cfg.freeze()
+    pipe = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
+    pipe.train(cfg, "ragged-p2p", None)
+    ckpt = _latest_ckpt(out)
+
+    losses = get_pipeline(cfg.PIPELINE_TYPE)(cfg).test(cfg, "ragged-p2p-T",
+                                                       ckpt)
+    assert np.isfinite(float(losses["L2_dist"]))
+    assert np.isfinite(float(losses["loss"]))
