@@ -10,9 +10,9 @@ on-disk format directly:
   - TFRecord framing: ``uint64 length | masked crc32c(length) | payload |
     masked crc32c(payload)`` with the Castagnoli CRC and TF's rotate+add mask;
   - hand-encoded ``Event``/``Summary`` protobufs (scalars, PNG image
-    summaries; figures render via matplotlib; videos fall back to a filmstrip
-    image — animated-GIF encoding is the one thing the torch writer does
-    better);
+    summaries; figures render via matplotlib; videos as ANIMATED GIF image
+    summaries via an in-module GIF89a/LZW encoder — the same wire format the
+    torch writer produces, validated against PIL's decoder);
   - a matching reader (used by the tests, cross-validated against the real
     ``tensorboard`` package's loader).
 
@@ -110,6 +110,188 @@ def _png_encode(rgb: np.ndarray) -> bytes:
             + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
 
 
+def _quantize_676(frames: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(..., 3) uint8 -> (palette-index array, (256,3) palette).
+
+    Fixed 6x7x6 RGB color cube (252 entries): deterministic, no per-video
+    palette fitting, plenty for skeleton renders (white canvas + a few dozen
+    edge colors)."""
+    levels_r = np.round(np.linspace(0, 255, 6)).astype(np.uint8)
+    levels_g = np.round(np.linspace(0, 255, 7)).astype(np.uint8)
+    levels_b = np.round(np.linspace(0, 255, 6)).astype(np.uint8)
+    palette = np.zeros((256, 3), np.uint8)
+    palette[:252] = np.stack(
+        np.meshgrid(levels_r, levels_g, levels_b, indexing="ij"),
+        axis=-1).reshape(-1, 3)
+    qr = np.round(frames[..., 0].astype(np.float32) * (5 / 255)).astype(np.int32)
+    qg = np.round(frames[..., 1].astype(np.float32) * (6 / 255)).astype(np.int32)
+    qb = np.round(frames[..., 2].astype(np.float32) * (5 / 255)).astype(np.int32)
+    return (qr * 42 + qg * 6 + qb).astype(np.uint8), palette
+
+
+def _gif_lzw(indices: np.ndarray, min_code_size: int = 8) -> bytes:
+    """GIF-flavor LZW over a uint8 index array (row-major), sub-blocked."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    data = indices.tobytes()
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    s = b""
+    for ch in data:
+        sc = s + bytes([ch])
+        if sc in table:
+            s = sc
+            continue
+        emit(table[s], width)
+        table[sc] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        s = bytes([ch])
+    if s:
+        emit(table[s], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+
+    blocks = bytearray([min_code_size])
+    for i in range(0, len(out), 255):
+        chunk = out[i: i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return bytes(blocks)
+
+
+def gif_encode(frames: np.ndarray, fps: int = 4) -> bytes:
+    """(T, H, W, 3) uint8 -> animated GIF89a bytes (looping).
+
+    Pure stdlib: fixed-cube quantization + GIF LZW.  This is what keeps
+    add_video a real animation on torch-free images (the torch writer encodes
+    GIF via moviepy; the reference's add_video is
+    ``core/utils/video_processing.py:72-98``)."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    t, h, w, _ = frames.shape
+    indexed, palette = _quantize_676(frames)
+    delay_cs = max(2, round(100 / max(1, fps)))  # GIF delay in 10ms units
+
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: global color table, 8-bit, 256 entries
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += palette.tobytes()
+    # NETSCAPE2.0 loop-forever extension
+    out += b"\x21\xFF\x0BNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for i in range(t):
+        # graphic control: delay, no transparency, no disposal
+        out += b"\x21\xF9\x04" + struct.pack("<BHB", 0, delay_cs, 0) + b"\x00"
+        # image descriptor: full frame, no local color table
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += _gif_lzw(indexed[i])
+    out += b"\x3B"
+    return bytes(out)
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """Minimal GIF89a reader for round-trip tests: returns (T, H, W, 3) uint8.
+    Assumes the layout gif_encode emits (global palette, full-size frames)."""
+    assert data[:6] in (b"GIF89a", b"GIF87a"), "not a GIF"
+    w, h, packed, _, _ = struct.unpack("<HHBBB", data[6:13])
+    assert packed & 0x80, "no global color table"
+    gct_size = 2 << (packed & 0x07)
+    pos = 13
+    palette = np.frombuffer(data[pos: pos + gct_size * 3],
+                            np.uint8).reshape(-1, 3)
+    pos += gct_size * 3
+
+    frames = []
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        assert b0 == 0x2C, f"unexpected block 0x{b0:02x}"
+        fx, fy, fw, fh, fpacked = struct.unpack("<HHHHB", data[pos + 1: pos + 10])
+        assert not fpacked & 0x80, "local color tables not supported"
+        pos += 10
+        min_code_size = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            n = data[pos]
+            lzw += data[pos + 1: pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+
+        # LZW decode
+        clear = 1 << min_code_size
+        end = clear + 1
+        width = min_code_size + 1
+        dictionary = [bytes([i]) for i in range(clear)] + [b"", b""]
+        acc = nbits = 0
+        out = bytearray()
+        prev: Optional[bytes] = None
+        for byte in lzw:
+            acc |= byte << nbits
+            nbits += 8
+            while nbits >= width:
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                nbits -= width
+                if code == clear:
+                    dictionary = ([bytes([i]) for i in range(clear)]
+                                  + [b"", b""])
+                    width = min_code_size + 1
+                    prev = None
+                    continue
+                if code == end:
+                    nbits = 0
+                    acc = 0
+                    break
+                if code < len(dictionary):
+                    entry = dictionary[code]
+                    if prev is not None:
+                        dictionary.append(prev + entry[:1])
+                else:
+                    entry = prev + prev[:1]
+                    dictionary.append(entry)
+                out += entry
+                prev = entry
+                # encoder emits with width+1 from the emission after it
+                # assigned entry 2^width; this table (with its two dummy
+                # clear/end slots) reaches len 2^width exactly then
+                if len(dictionary) >= (1 << width) and width < 12:
+                    width += 1
+        arr = np.frombuffer(bytes(out[: fw * fh]), np.uint8).reshape(fh, fw)
+        frames.append(palette[arr])
+    return np.stack(frames)
+
+
 def _event(step: Optional[int] = None, summary: Optional[bytes] = None,
            file_version: Optional[str] = None,
            wall_time: Optional[float] = None) -> bytes:
@@ -192,18 +374,25 @@ class NativeTBWriter:
 
     def add_video(self, tag: str, vid_tensor, global_step: Optional[int] = None,
                   fps: int = 4):
-        """(B, T, C, H, W) float in [0,1] -> a filmstrip image summary (every
-        k-th frame side by side; animated GIF needs an LZW encoder — use the
-        torch writer for true video summaries)."""
+        """(B, T, C, H, W) float in [0,1] -> an ANIMATED GIF image summary —
+        the same wire format the torch writer emits for videos (TensorBoard's
+        image plugin plays GIFs), so torch-free images keep real video
+        summaries (reference add_video: video_processing.py:72-98)."""
         v = np.asarray(vid_tensor)
         if v.ndim != 5:
             logging.warning("NativeTBWriter.add_video: expected 5-D, got %s",
                             v.shape)
             return
-        frames = v[0]  # (T, C, H, W)
-        take = max(len(frames) // 8, 1)
-        strip = np.concatenate(list(frames[::take][:8]), axis=-1)  # (C, H, 8W)
-        self.add_image(tag, strip, global_step=global_step)
+        frames = np.transpose(v[0], (0, 2, 3, 1))  # (T, H, W, C)
+        if frames.shape[-1] == 1:
+            frames = np.repeat(frames, 3, axis=-1)
+        if frames.dtype != np.uint8:
+            frames = (np.clip(frames, 0.0, 1.0) * 255).astype(np.uint8)
+        h, w = frames.shape[1:3]
+        img = (_f_varint(1, h) + _f_varint(2, w) + _f_varint(3, 3)
+               + _f_bytes(4, gif_encode(frames, fps=fps)))
+        val = _f_bytes(1, tag.encode()) + _f_bytes(4, img)
+        self._write(_event(step=global_step, summary=_f_bytes(1, val)))
 
     def flush(self):
         self._f.flush()

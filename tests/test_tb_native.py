@@ -54,8 +54,41 @@ def test_round_trip_own_reader(tmp_path):
                                [0.5, 0.25, 1e-4], rtol=1e-6)
     assert {(e["tag"], e["step"]) for e in images} == {
         ("viz/frame", 3), ("viz/clip", 4)}
-    for e in images:
-        assert e["png"].startswith(b"\x89PNG\r\n\x1a\n")
+    by_tag = {e["tag"]: e["png"] for e in images}
+    assert by_tag["viz/frame"].startswith(b"\x89PNG\r\n\x1a\n")
+    # videos are ANIMATED GIF image summaries (torch writer wire format)
+    assert by_tag["viz/clip"].startswith(b"GIF89a")
+
+
+def test_gif_round_trip_and_pil_cross_validation(tmp_path):
+    """gif_encode -> own decoder AND PIL both reproduce the quantized frames
+    exactly — incl. dictionary-reset (noisy) and flat (skeleton-like) clips."""
+    from speechdrivestemplates_tpu.utils.tb_native import (_quantize_676,
+                                                           gif_decode,
+                                                           gif_encode)
+
+    rng = np.random.RandomState(0)
+    noisy = rng.randint(0, 256, (5, 40, 50, 3), np.uint8)
+    flat = np.full((8, 32, 48, 3), 255, np.uint8)
+    for t in range(8):
+        flat[t, :, 5 * t: 5 * t + 3] = [255, 0, 0]
+
+    for frames in (noisy, flat):
+        idx, pal = _quantize_676(frames)
+        want = pal[idx]
+        gif = gif_encode(frames, fps=15)
+        np.testing.assert_array_equal(gif_decode(gif), want)
+        try:
+            import io
+
+            from PIL import Image, ImageSequence
+        except ImportError:
+            continue
+        im = Image.open(io.BytesIO(gif))
+        got = np.stack([np.asarray(f.convert("RGB"))
+                        for f in ImageSequence.Iterator(im)])
+        np.testing.assert_array_equal(got, want)
+        assert im.info.get("loop", None) == 0  # loops forever
 
 
 def test_cross_validate_with_real_tensorboard(tmp_path):
