@@ -87,8 +87,15 @@ def bench_inference(batch: int = 128, iters: int = 40, warmup: int = 5):
     return batch * num_frames / per_call, per_call
 
 
-def bench_train_step(batch: int = 32, iters: int = 10, warmup: int = 2):
-    """Full SDT-BP train step rate on synthetic data (steps/sec)."""
+def bench_train_step(batch: int = 32, iters: int = 10, warmup: int = 2,
+                     preset: str | None = None):
+    """Full train step rate on synthetic data (steps/sec).
+
+    ``preset``: None = flagship SDT-BP (bf16); otherwise a configs/ YAML name
+    ('voice2pose_s2g.yaml' exercises the GAN step — D optimizer + the
+    three-forward BN cadence; 'pose2pose.yaml' the VAE step with the in-jit
+    code-bank scatter).  All four reference presets are first-class training
+    configs (reference configs/*.yaml)."""
     import tempfile
 
     import jax
@@ -100,7 +107,16 @@ def bench_train_step(batch: int = 32, iters: int = 10, warmup: int = 2):
 
     with tempfile.TemporaryDirectory() as tmp:
         make_synthetic_speaker(tmp, "oliver", num_train=batch, num_dev=0)
-        cfg = _flagship_cfg()
+        if preset is None:
+            cfg = _flagship_cfg()
+        else:
+            from speechdrivestemplates_tpu.config import get_cfg_defaults
+
+            cfg = get_cfg_defaults()
+            cfg.merge_from_file(os.path.join(os.path.dirname(__file__),
+                                             "configs", preset))
+            cfg.DATASET.SPEAKER = "oliver"
+            cfg.TRAIN.PRECISION = "bf16"
         cfg.DATASET.ROOT_DIR = tmp
         cfg.TRAIN.BATCH_SIZE = batch
         cfg.TRAIN.VALIDATE = False
@@ -113,7 +129,12 @@ def bench_train_step(batch: int = 32, iters: int = 10, warmup: int = 2):
         pipe.setup_optimizer()
 
         dbs = [pipe._device_batch(b) for b in pipe.train_dataloader]
-        step_fn = pipe._get_train_step()
+        if cfg.PIPELINE_TYPE == "Pose2Pose":
+            step_fn = pipe._get_step("train")
+            fence_key = "loss"
+        else:
+            step_fn = pipe._get_train_step()
+            fence_key = "G_loss"
         rngs = [jax.random.PRNGKey(i) for i in range(4)]
 
         # FLOP accounting for MFU: XLA's own cost model on the compiled step
@@ -130,13 +151,13 @@ def bench_train_step(batch: int = 32, iters: int = 10, warmup: int = 2):
         state = pipe.state
         for i in range(warmup):
             state, losses, _ = step_fn(state, dbs[i % len(dbs)], rngs[i % 4])
-        float(np.asarray(losses["G_loss"]))  # true completion fence (see sync above)
+        float(np.asarray(losses[fence_key]))  # true completion fence (see sync above)
 
         def timed(n, state):
             tic = time.perf_counter()
             for i in range(n):
                 state, losses, _ = step_fn(state, dbs[i % len(dbs)], rngs[i % 4])
-            float(np.asarray(losses["G_loss"]))
+            float(np.asarray(losses[fence_key]))
             return time.perf_counter() - tic, state
 
         n1, n2 = iters, iters * 4
@@ -170,24 +191,32 @@ def main():
         _emit(frames_per_sec)
         os._exit(0)
 
-    watchdog = threading.Timer(900.0, bail)
+    watchdog = threading.Timer(1500.0, bail)
     watchdog.daemon = True
     watchdog.start()
-    try:
-        train_sps, step_flops = bench_train_step()
-        print(f"[bench] train: {train_sps:.2f} steps/s (batch 32, SDT-BP)",
+    peak = 197e12  # v5e bf16 peak TFLOP/s per chip (fp32 via bf16x3 is ~1/3)
+
+    def report(label, sps, flops):
+        print(f"[bench] train: {sps:.2f} steps/s (batch 32, {label})",
               file=sys.stderr, flush=True)
-        if step_flops:
-            # v5e peak: 197 TFLOP/s bf16 per chip (fp32 via bf16x3 is ~1/3).
-            peak = 197e12
-            mfu = step_flops * train_sps / peak
-            print(f"[bench] train step = {step_flops/1e9:.2f} GFLOP "
+        if flops:
+            mfu = flops * sps / peak
+            print(f"[bench] {label} step = {flops/1e9:.2f} GFLOP "
                   f"(XLA cost model) -> MFU {mfu*100:.2f}% of v5e bf16 peak",
                   file=sys.stderr, flush=True)
-    except Exception as e:  # pragma: no cover
-        print(f"[bench] train-step bench failed: {e}", file=sys.stderr, flush=True)
-    finally:
-        watchdog.cancel()
+
+    # the full pipeline matrix: flagship SDT-BP, the GAN preset (D optimizer +
+    # BN cadence), and the Pose2Pose VAE (bank scatter) — all on the chip
+    for label, preset in (("SDT-BP", None),
+                          ("s2g-GAN", "voice2pose_s2g.yaml"),
+                          ("pose2pose", "pose2pose.yaml")):
+        try:
+            sps, flops = bench_train_step(preset=preset)
+            report(label, sps, flops)
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] {label} train bench failed: {e}", file=sys.stderr,
+                  flush=True)
+    watchdog.cancel()
 
     _emit(frames_per_sec)
 

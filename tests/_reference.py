@@ -120,3 +120,46 @@ def reference_pose2pose_step(model, optimizer, batch):
     losses_dict["loss"].backward()
     optimizer.step()
     return losses_dict, results_dict
+
+
+def reference_voice2pose_eval(model, dataset, batch, test_batch_size):
+    """One reference TEST step, verbatim semantics of
+    core/pipelines/voice2pose.py:333-384 + evaluate_step (:412-430), sans
+    logging/saving: eval-mode forward, denormalize through the reference
+    dataset, L2/lip-sync metrics, losses x TEST.BATCH_SIZE, and the
+    mu/logvar/condition_code rows kept for the epoch FGD."""
+    import numpy as np
+    import torch
+
+    was_training = model.training
+    model.eval()
+    with torch.no_grad():
+        losses_dict, results_dict = model(batch, dataset)
+        speaker_stat = batch["speaker_stat"]
+        results_dict["poses_pred_batch"] = dataset.get_final_results(
+            results_dict["poses_pred_batch"].detach(), speaker_stat)
+        results_dict["poses_gt_batch"] = dataset.get_final_results(
+            results_dict["poses_gt_batch"].detach(), speaker_stat)
+
+        pred = results_dict["poses_pred_batch"]
+        gt = results_dict["poses_gt_batch"]
+        L2_dist = torch.norm(pred - gt, p=2, dim=2)
+        lip_open_pred = torch.norm(pred[:, :, :, 75] - pred[:, :, :, 71],
+                                   p=2, dim=-1)
+        lip_open_gt = torch.norm(gt[:, :, :, 75] - gt[:, :, :, 71],
+                                 p=2, dim=-1)
+        denom = lip_open_gt.max(-1, keepdim=True).values + 1e-4
+        losses_dict["L2_dist"] = L2_dist.mean()
+        losses_dict["lip_sync_error_n"] = torch.abs(
+            lip_open_pred / denom - lip_open_gt / denom).mean()
+        losses_dict = {k: v.mean() for k, v in losses_dict.items()}
+    if was_training:
+        model.train()
+
+    batch_losses = {k: float(v.detach()) * test_batch_size
+                    for k, v in losses_dict.items()}
+    batch_results = {
+        k: np.asarray(v.detach()) for k, v in results_dict.items()
+        if k in ("mu_pred", "mu_gt", "logvar_pred", "logvar_gt",
+                 "condition_code") and v is not None}
+    return batch_losses, batch_results
