@@ -47,10 +47,21 @@ def bench(num_clips: int = 128, epochs: int = 2):
             for w in worker_counts:
                 loader = DataLoader(ds, batch_size=32, shuffle=True,
                                     num_workers=w)
+                # COLD epoch: first pass over the freshly written npz files
+                # (includes real file IO + parse; the page cache is cold for
+                # this process).  Only the first configuration per path sees
+                # truly cold files — later ones ride the OS cache, so the
+                # cold number is recorded once per path at w=min.
+                tic = time.perf_counter()
                 n = 0
-                # warm one epoch (page cache), then time
                 for b in loader:
                     n += len(b["clip_index"])
+                cold_ips = n / (time.perf_counter() - tic)
+                if f"{path}_cold" not in results:
+                    results[f"{path}_cold"] = round(cold_ips, 1)
+                    print(f"[bench_loader] {path:14s} workers={w} COLD epoch: "
+                          f"{cold_ips:9.1f} items/s", file=sys.stderr,
+                          flush=True)
                 tic = time.perf_counter()
                 n = 0
                 for e in range(epochs):
@@ -87,9 +98,10 @@ def bench(num_clips: int = 128, epochs: int = 2):
               file=sys.stderr, flush=True)
 
     results["host_cpus"] = ncpu
-    # device-side consumption at the recorded bf16 train rate (BENCH_r02):
-    # 105.5 steps/s * batch 32
-    results["device_demand_items_per_s"] = 105.5 * 32
+    # device-side consumption at the recorded bf16 train rates (BENCH_r03):
+    # 107.8 steps/s * batch 32, and the high-MFU batch-128 point (33 steps/s)
+    results["device_demand_b32_items_per_s"] = 107.8 * 32
+    results["device_demand_b128_items_per_s"] = 33.0 * 128
     print(json.dumps({"metric": "loader_items_per_sec", **results}), flush=True)
     return results
 

@@ -97,6 +97,116 @@ def profile_serving(batch: int):
     return t_full_ms
 
 
+def _cost(compiled_or_jit, *args):
+    """(flops, bytes_accessed) from XLA's cost model; (0, 0) if unavailable."""
+    try:
+        ca = compiled_or_jit.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
+
+
+def profile_train_phases(batch: int):
+    """Train-step speed-of-light bisect (the train analog of PERF.md's
+    serving floor analysis): forward / forward+backward / full step, each
+    slope-timed with XLA cost-model FLOPs + HBM bytes, and a composite
+    roofline floor  max(flops/peak_flops, bytes/peak_bw)  per phase.
+
+    The floor is optimistic (assumes perfect compute/memory overlap and
+    whole-step aggregation), so measured/floor is an upper bound on headroom."""
+    import tempfile
+
+    import jax
+
+    from __graft_entry__ import _flagship_cfg
+    from speechdrivestemplates_tpu.datasets.synthetic import make_synthetic_speaker
+    from speechdrivestemplates_tpu.ops.mel import mel_spectrogram
+    from speechdrivestemplates_tpu.pipelines import get_pipeline
+
+    PEAK_FLOPS = 197e12  # v5e bf16
+    PEAK_BW = 819e9      # v5e HBM bytes/s
+
+    with tempfile.TemporaryDirectory() as tmp:
+        make_synthetic_speaker(tmp, "oliver", num_train=batch, num_dev=0)
+        cfg = _flagship_cfg()
+        cfg.DATASET.ROOT_DIR = tmp
+        cfg.TRAIN.BATCH_SIZE = batch
+        cfg.TRAIN.VALIDATE = False
+        cfg.TRAIN.SAVE_VIDEO = False
+        cfg.freeze()
+        pipe = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
+        pipe.setup_dataset(cfg, "train")
+        pipe.setup_model(cfg)
+        pipe.setup_optimizer()
+        db = pipe._device_batch(next(iter(pipe.train_dataloader)))
+        rng = jax.random.PRNGKey(0)
+        state = pipe.state
+        nf = cfg.DATASET.NUM_FRAMES
+        mel_impl = cfg.SYS.MEL_IMPL
+
+        # phase 1: generator forward only (the serving stem under train=True)
+        def fwd(state, batch):
+            mel = mel_spectrogram(batch["audio"], impl=mel_impl)
+            code = state["clips_code"][batch["clip_index"]]
+            pred, _ = pipe._apply_generator(
+                state["params_g"], state["batch_stats_g"], mel, nf, code, True)
+            return pred
+
+        # phase 2: full G loss (incl. frozen FGD features) + grads for
+        # G/code — the backward sweep, no optimizer updates
+        def fwd_bwd(state, batch):
+            def loss_fn(params_g, clips_code):
+                mel = mel_spectrogram(batch["audio"], impl=mel_impl)
+                code = clips_code[batch["clip_index"]]
+                pred, _ = pipe._apply_generator(
+                    params_g, state["batch_stats_g"], mel, nf, code, True)
+                g_loss, _ = pipe._generator_losses(pred, batch["poses"], code,
+                                                   None, True)
+                return g_loss
+            return jax.grad(loss_fn, argnums=(0, 1))(state["params_g"],
+                                                     state["clips_code"])
+
+        jfwd = jax.jit(fwd)
+        jbwd = jax.jit(fwd_bwd)
+        step_fn = pipe._get_train_step()
+
+        t_fwd = _slope_time(jfwd, (state, db)) * 1e3
+        t_bwd = _slope_time(jbwd, (state, db)) * 1e3
+
+        def chained(n):
+            nonlocal state
+            tic = time.perf_counter()
+            for _ in range(n):
+                state, losses, _ = step_fn(state, db, rng)
+            float(losses["G_loss"])
+            return time.perf_counter() - tic
+
+        state, losses, _ = step_fn(state, db, rng)
+        float(losses["G_loss"])
+        chained(8)
+        t1, t2 = chained(8), chained(32)
+        t_step = (t2 - t1) / 24 * 1e3
+
+        rows = [("G forward (train mode)", t_fwd, _cost(jfwd, state, db)),
+                ("G fwd+bwd (G+code grads)", t_bwd, _cost(jbwd, state, db)),
+                ("full step (3 opts+metrics)", t_step,
+                 _cost(step_fn, state, db, rng))]
+        print(f"\n== train-step floor analysis, batch {batch} "
+              f"(peak {PEAK_FLOPS/1e12:.0f} TFLOP/s bf16, "
+              f"{PEAK_BW/1e9:.0f} GB/s HBM) ==")
+        print(f"  {'phase':<28} {'ms':>8} {'GFLOP':>9} {'GB':>7} "
+              f"{'MFU%':>6} {'floor ms':>9} {'x floor':>8}")
+        for name, ms, (flops, bts) in rows:
+            floor = max(flops / PEAK_FLOPS, bts / PEAK_BW) * 1e3
+            mfu = flops / (ms / 1e3) / PEAK_FLOPS * 100 if ms else 0.0
+            ratio = ms / floor if floor else float("nan")
+            print(f"  {name:<28} {ms:8.3f} {flops/1e9:9.2f} {bts/1e9:7.2f} "
+                  f"{mfu:6.1f} {floor:9.3f} {ratio:8.2f}")
+        return rows
+
+
 def profile_train(batch: int):
     import tempfile
 
@@ -160,11 +270,17 @@ def main():
                     help="serving-forward batch (128 = v5e sweet spot)")
     ap.add_argument("--train-batch", type=int, default=32)
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--train-floor", action="store_true",
+                    help="train-step speed-of-light bisect (fwd / fwd+bwd / "
+                         "full step vs the composite roofline floor)")
     args = ap.parse_args()
 
     import bench
 
     bench._enable_compile_cache()
+    if args.train_floor:
+        profile_train_phases(args.train_batch)
+        return
     profile_serving(args.batch)
     if not args.skip_train:
         profile_train(args.train_batch)

@@ -14,8 +14,14 @@ import pandas as pd
 def make_synthetic_speaker(root_dir: str, speaker: str = "oliver",
                            num_train: int = 12, num_dev: int = 4,
                            num_frames: int = 64, audio_length: int = 68267,
-                           seed: int = 0) -> str:
-    """Create ``root_dir/<speaker>/`` with clips + csv; returns the speaker dir."""
+                           seed: int = 0, offset_scale: float = 1.0) -> str:
+    """Create ``root_dir/<speaker>/`` with clips + csv; returns the speaker dir.
+
+    ``offset_scale`` scales the per-clip random keypoint offsets (the
+    memorization-hard component): 1.0 is the default fixture; small values
+    (e.g. 0.2) make the task converge in tens of steps, which the
+    convergence-parity test uses to reach a converged operating point within
+    a CPU-tractable budget."""
     rng = np.random.RandomState(seed)
     speaker_dir = os.path.join(root_dir, speaker)
     os.makedirs(speaker_dir, exist_ok=True)
@@ -28,8 +34,8 @@ def make_synthetic_speaker(root_dir: str, speaker: str = "oliver",
         t = np.arange(num_frames)[:, None]
         base_x = 640 + 40 * np.sin(2 * np.pi * t / 32 + rng.rand() * 6)
         base_y = 360 + 20 * np.cos(2 * np.pi * t / 24 + rng.rand() * 6)
-        kx = rng.rand(1, 137) * 300 - 150
-        ky = rng.rand(1, 137) * 300 - 150
+        kx = (rng.rand(1, 137) * 300 - 150) * offset_scale
+        ky = (rng.rand(1, 137) * 300 - 150) * offset_scale
         x = base_x + kx + rng.randn(num_frames, 137) * 2
         y = base_y + ky + rng.randn(num_frames, 137) * 2
         score = 0.5 + 0.5 * rng.rand(num_frames, 137)

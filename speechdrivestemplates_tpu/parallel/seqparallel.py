@@ -350,10 +350,24 @@ def generator_seq_parallel(mesh: Mesh, params: Dict[str, Any], mel: np.ndarray,
     if norm == "BN" and not batch_stats:
         raise ValueError("norm='BN' needs the generator's batch_stats "
                          "(running mean/var) for eval-mode BatchNorm")
-    mel_sh = jax.device_put(jnp.asarray(mel),
-                            NamedSharding(mesh, P(None, None, AXIS)))
+    sh = NamedSharding(mesh, P(None, None, AXIS))
+    if jax.process_count() > 1:
+        # multi-process mesh: every process holds the FULL mel (demo audio is
+        # host-replicated); serve each addressable shard from the local copy
+        mel_np = np.asarray(mel)
+        mel_sh = jax.make_array_from_callback(mel_np.shape, sh,
+                                              lambda idx: mel_np[idx])
+    else:
+        mel_sh = jax.device_put(jnp.asarray(mel), sh)
     run = _build_seq_forward(mesh, t_mel, num_frames, code is not None,
                              leaky, num_landmarks, norm)
     args = (params, batch_stats or {}, mel_sh) + (
         () if code is None else (jnp.asarray(code),))
-    return run(*args)
+    out = run(*args)
+    if jax.process_count() > 1:
+        # the time-sharded output spans processes (non-addressable shards are
+        # not host-readable); reshard to fully replicated — the pose tensor
+        # is tiny (B x T x 2 x K), so the gather costs nothing real
+        out = jax.jit(lambda x: x,
+                      out_shardings=NamedSharding(mesh, P()))(out)
+    return out
