@@ -287,6 +287,25 @@ class Voice2Pose(Trainer):
             variables["batch_stats"] = state["batch_stats_pe"]
         return self.pose_encoder.apply(variables, poses, False)  # frozen, eval mode
 
+    def _apply_pose_encoder_train(self, state, poses, batch_stats):
+        """TRAIN-mode FGD-encoder forward: the reference's 'frozen' pose
+        encoder sits inside a model in ``train()`` mode, so every training
+        forward normalizes with BATCH statistics and EMAs the BN running
+        stats — under ``torch.no_grad()`` but stats still move (reference
+        voice2pose.py:162-176 + building_blocks BN).  Its parameters never
+        update (only netG is in optimizerG), but the drifted running stats
+        are what the reference's --test_only later evaluates with; matching
+        at convergence requires reproducing the drift.  Returns
+        (mu, logvar, new_batch_stats)."""
+        if not batch_stats:
+            mu, lv = self.pose_encoder.apply({"params": state["params_pe"]},
+                                             poses, False)
+            return mu, lv, batch_stats
+        (mu, lv), upd = self.pose_encoder.apply(
+            {"params": state["params_pe"], "batch_stats": batch_stats},
+            poses, True, mutable=["batch_stats"])
+        return mu, lv, upd["batch_stats"]
+
     def _disc_input(self, poses):
         """WHITE_LIST keypoint masking + motion differencing
         (reference voice2pose.py:182-192)."""
@@ -469,7 +488,10 @@ class Voice2Pose(Trainer):
                 new_state["batch_stats_d"] = bs_d2
                 losses.update(d_aux)
 
-            # FGD features from the frozen encoder (reference voice2pose.py:162-176)
+            # FGD features from the frozen encoder (reference voice2pose.py:162-176):
+            # TRAIN-mode forwards, pred then gt — batch-stat normalization +
+            # two sequential BN running-stat EMA updates per step, exactly the
+            # reference's cadence (its params stay frozen; its stats do not)
             results = {}
             if self.has_pe:
                 if self.cfg.DATASET.HIERARCHICAL_POSE:
@@ -477,8 +499,12 @@ class Voice2Pose(Trainer):
                 else:
                     enc_pred = self._p2g_renorm(batch, pred)
                     enc_gt = self._p2g_renorm(batch, batch["poses"])
-                mu_p, lv_p = self._apply_pose_encoder(state, enc_pred)
-                mu_g, lv_g = self._apply_pose_encoder(state, enc_gt)
+                mu_p, lv_p, bs_pe = self._apply_pose_encoder_train(
+                    state, enc_pred, state.get("batch_stats_pe"))
+                mu_g, lv_g, bs_pe = self._apply_pose_encoder_train(
+                    state, enc_gt, bs_pe)
+                if bs_pe:
+                    new_state["batch_stats_pe"] = bs_pe
                 results.update({"mu_pred": mu_p, "logvar_pred": lv_p,
                                 "mu_gt": mu_g, "logvar_gt": lv_g})
 
