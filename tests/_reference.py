@@ -163,3 +163,38 @@ def reference_voice2pose_eval(model, dataset, batch, test_batch_size):
         if k in ("mu_pred", "mu_gt", "logvar_pred", "logvar_gt",
                  "condition_code") and v is not None}
     return batch_losses, batch_results
+
+
+def reference_pose2pose_eval(model, dataset, batch, test_batch_size):
+    """One reference Pose2Pose TEST step, verbatim semantics of
+    core/pipelines/pose2pose.py:172-218 + evaluate (:248-280), sans
+    logging/saving (TEST.MULTIPLE == 1 path).  The VAE eval forward still
+    reparameterizes — pin torch.randn before calling for determinism."""
+    import torch
+
+    was_training = model.training
+    model.eval()
+    with torch.no_grad():
+        losses_dict, results_dict = model(batch, is_testing=True)
+        speaker_stat = batch["speaker_stat"]
+        results_dict["poses_pred_batch"] = dataset.get_final_results(
+            results_dict["poses_pred_batch"].detach(), speaker_stat)
+        results_dict["poses_gt_batch"] = dataset.get_final_results(
+            results_dict["poses_gt_batch"].detach(), speaker_stat)
+
+        pred = results_dict["poses_pred_batch"]
+        gt = results_dict["poses_gt_batch"]
+        L2_dist = torch.norm(pred - gt, p=2, dim=2)
+        lip_open_pred = torch.sqrt(
+            ((pred[:, :, :, 75] - pred[:, :, :, 71]) ** 2).sum(dim=2))
+        lip_open_gt = torch.sqrt(
+            ((gt[:, :, :, 75] - gt[:, :, :, 71]) ** 2).sum(dim=2))
+        denom = lip_open_gt.max(-1, keepdim=True).values + 1e-4
+        losses_dict["L2_dist"] = L2_dist
+        losses_dict["lip_sync_error_n"] = torch.abs(
+            lip_open_pred / denom - lip_open_gt / denom)
+        losses_dict = {k: v.mean() for k, v in losses_dict.items()}
+    if was_training:
+        model.train()
+    return {k: float(v.detach()) * test_batch_size
+            for k, v in losses_dict.items()}

@@ -289,3 +289,197 @@ def test_converged_metric_parity(ref_mod, tmp_path_factory):
     for key in ("FGD_mu", "FGD_mu_logvar"):
         o, t = float(ours[key]), float(theirs[key])
         assert abs(o - t) / (abs(t) + 1e-9) < 0.25, (key, o, t)
+
+
+@pytest.mark.slow
+def test_pose2pose_converged_parity(ref_mod, tmp_path_factory):
+    """Pose2Pose (VAE) converged-metric parity: both frameworks train the
+    autoencoder for the same pinned-noise steps on identical batches, then
+    run their --test_only semantics (eval reparam noise pinned per batch) and
+    compare converged reg/KL/L2/lip metrics plus the persisted
+    clip_code_mu/logvar banks (the artifact SDT-VAE consumes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from _reference import (reference_pose2pose_eval, reference_pose2pose_step)
+    from speechdrivestemplates_tpu.datasets import DataLoader, get_dataset
+    from speechdrivestemplates_tpu.datasets.synthetic import \
+        make_synthetic_speaker
+    from speechdrivestemplates_tpu.pipelines import get_pipeline
+    from speechdrivestemplates_tpu.utils.torch_import import (
+        _to_mutable, import_module_params, translate_autoencoder)
+
+    torch, _ = ref_mod
+    sys.path.insert(0, REFERENCE)
+    from core.pipelines import pose2pose as ref_p2p
+
+    tmp = tmp_path_factory.mktemp("p2p_convergence")
+    root = os.path.join(str(tmp), "speakers")
+    make_synthetic_speaker(root, "oliver", num_train=NUM_TRAIN,
+                           num_dev=NUM_VAL, offset_scale=0.2)
+
+    from speechdrivestemplates_tpu.config import get_cfg_defaults
+
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(os.path.join(CONFIG_DIR, "pose2pose.yaml"))
+    cfg.DATASET.SPEAKER = "oliver"
+    cfg.DATASET.ROOT_DIR = root
+    cfg.TRAIN.BATCH_SIZE = BATCH
+    cfg.TEST.BATCH_SIZE = BATCH
+    cfg.TRAIN.LR = 1e-3
+    cfg.TRAIN.LR_SCHEDULER = False
+    cfg.TRAIN.VALIDATE = False
+    cfg.TRAIN.SAVE_VIDEO = False
+    cfg.SYS.MESH.DATA = 1
+    cfg.freeze()
+
+    pipe = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
+    pipe.setup_dataset(cfg, "train")
+    pipe.setup_model(cfg)
+    pipe.setup_optimizer()
+
+    torch.manual_seed(17)
+    tmodel = ref_p2p.Pose2PoseModel(cfg, num_train_samples=NUM_TRAIN)
+    tmodel.train()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params = _to_mutable(pipe.state["params_ae"])
+    bs = _to_mutable(pipe.state.get("batch_stats_ae", {}))
+    import_module_params(sd, "ae.", params, bs, translate_autoencoder)
+    pipe.state["params_ae"], pipe.state["batch_stats_ae"] = params, bs
+    pipe.state = jax.tree.map(jnp.asarray, jax.device_get(pipe.state))
+
+    optimizer = torch.optim.Adam(tmodel.ae.parameters(), lr=cfg.TRAIN.LR)
+    code_dim = cfg.POSE2POSE.AUTOENCODER.CODE_DIM
+    real_randn = torch.randn
+
+    def pinned_noise(rng, B):
+        """Exactly the noise our jitted step draws from its 'reparam' stream."""
+        return pipe.ae.apply(
+            {"params": pipe.state["params_ae"],
+             "batch_stats": pipe.state["batch_stats_ae"]},
+            method=lambda m: jax.random.normal(m.make_rng("reparam"),
+                                               (B, code_dim), jnp.float32),
+            rngs={"reparam": rng})
+
+    step_fn = pipe._get_step("train")
+    first = last = None
+    early_rel = []
+    step = epoch = 0
+    while step < NUM_STEPS:
+        pipe.train_dataloader.set_epoch(epoch)
+        for batch in pipe.train_dataloader:
+            rng = jax.random.PRNGKey(step)
+            noise_t = torch.from_numpy(np.asarray(
+                pinned_noise(rng, len(batch["poses"]))))
+            torch.randn = lambda *a, **k: noise_t
+            try:
+                t_losses, _ = reference_pose2pose_step(
+                    tmodel, optimizer, _torch_batch(torch, batch))
+            finally:
+                torch.randn = real_randn
+            pipe.state, losses, _ = step_fn(pipe.state,
+                                            pipe._device_batch(batch), rng)
+            pair = (float(np.asarray(losses["reg_loss"])),
+                    float(t_losses["reg_loss"].detach()))
+            first = first or pair
+            last = pair
+            if step < 5:
+                early_rel.append(abs(pair[0] - pair[1]) / pair[1])
+            step += 1
+            if step >= NUM_STEPS:
+                break
+        epoch += 1
+
+    # semantic gate: with the reparam noise pinned, the first steps track
+    # tightly (measured: 3.7e-7 at step 0 growing ~3x/step — the VAE's
+    # -log(var) / exp(0.5*logvar)*eps terms amplify fp32 round-off
+    # exponentially, ~1e-3 by step 9 and O(10%) by step 72; that growth is
+    # chaos, not semantics, so the LATE-trajectory comparison below is
+    # statistical, unlike SDT-BP's 1.6e-6 deterministic tracking)
+    assert all(r < 5e-3 for r in early_rel), early_rel
+    if FULL_RUN:
+        assert last[0] < 0.6 * first[0], (first, last)
+        assert last[1] < 0.6 * first[1], (first, last)
+
+    # persisted code banks (the checkpoint-mediated artifact SDT-VAE loads):
+    # after 72 chaotically-diverged steps the individual entries decorrelate
+    # entirely (measured relL2 ~0.96 — saturated chaos, and VAE latent spaces
+    # only align up to rotation anyway), so compare the ROTATION-INVARIANT
+    # row statistics that the downstream consumers (SDT-VAE external codes,
+    # FGD Gaussian fits) actually depend on: mean row norm + covariance trace
+    for key in ("clip_code_mu", "clip_code_logvar"):
+        ours = np.asarray(pipe.state[key])
+        theirs = getattr(tmodel, key).detach().numpy()
+        if not FULL_RUN:
+            rel = np.linalg.norm(ours - theirs) / (
+                np.linalg.norm(theirs) + 1e-12)
+            assert rel < 0.02, (key, rel)
+            continue
+        # the bank SCALE is still growing at step 72 (mus start at 0), so it
+        # is a non-equilibrium quantity riding the chaotic divergence
+        # (measured: mean row norm 3.05 vs 3.86, ~21%); gate only gross
+        # breaks — a misindexed scatter or dead encoder reads as 0 or >>2x.
+        # Exact scatter semantics are pinned by test_pose2pose_one_step_parity.
+        for stat in (lambda b: float(np.mean(np.linalg.norm(b, axis=1))),
+                     lambda b: float(np.trace(np.cov(b, rowvar=False)))):
+            o, t = stat(ours), stat(theirs)
+            assert np.isfinite(o) and o > 0, (key, o)
+            assert 0.5 < o / t < 2.0, (key, o, t)
+
+    # ---- --test_only over the shared val split ---------------------------
+    ds_cls = get_dataset(cfg.DATASET.NAME)
+    val_ds = ds_cls(root, "oliver", "val", cfg)
+    val_batches = list(DataLoader(val_ds, batch_size=cfg.TEST.BATCH_SIZE,
+                                  shuffle=False))
+
+    from core.datasets.gesture_dataset import GestureDataset as RefDataset
+
+    ref_ds = RefDataset(root, "oliver", "val", cfg)
+
+    ours_sum = {}
+    theirs_sum = {}
+    for i, batch in enumerate(val_batches):
+        rng = jax.random.PRNGKey(5000 + i)
+        B = len(batch["poses"])
+        noise_t = torch.from_numpy(np.asarray(pinned_noise(rng, B)))
+        torch.randn = lambda *a, **k: noise_t
+        try:
+            bl = reference_pose2pose_eval(
+                tmodel, ref_ds, _torch_batch(torch, batch, with_stat=True),
+                cfg.TEST.BATCH_SIZE)
+        finally:
+            torch.randn = real_randn
+        for k, v in bl.items():
+            theirs_sum[k] = theirs_sum.get(k, 0.0) + v
+
+        db, valid, sig = pipe._device_eval_batch(batch)
+        efn = pipe._get_step("eval", cfg.TEST.MULTIPLE, valid, sig)
+        losses, _ = efn(pipe.state, db, rng, None)
+        for k, v in losses.items():
+            ours_sum[k] = ours_sum.get(k, 0.0) + float(np.asarray(v)) * B
+
+    ours = {k: v / NUM_VAL for k, v in ours_sum.items()}
+    theirs = {k: v / NUM_VAL for k, v in theirs_sum.items()}
+    print("p2p converged ours :",
+          {k: round(float(v), 5) for k, v in sorted(ours.items())})
+    print("p2p converged theirs:",
+          {k: round(float(v), 5) for k, v in sorted(theirs.items())})
+
+    if not FULL_RUN:
+        pytest.skip("smoke run: p2p harness plumbing verified")
+
+    # converged VAL metrics: val-set means at pinned eval noise.  The two
+    # weight trajectories have chaotically diverged (see above), so the
+    # remaining spread is genuine weight difference inside the same loss
+    # basin; 15% bounds the reconstruction/metric surface (measured: L2 1.9%,
+    # reg 3.1%, loss 4.2%, lip 4%) while still catching any semantic break
+    # (a wrong reparam/scatter shows up as 2x-10x, as the v2p BN-drift bug
+    # did).  kl_loss is lambda*(distance of the latents from N(0,1)) — the
+    # same non-equilibrium bank-scale quantity gated loosely above (measured
+    # 0.077 vs 0.048 at step 72, both still falling) — factor-2 gate only.
+    for key, bound in (("reg_loss", 0.15), ("loss", 0.15),
+                       ("L2_dist", 0.15), ("lip_sync_error_n", 0.15)):
+        o, t = float(ours[key]), float(theirs[key])
+        assert abs(o - t) / (abs(t) + 1e-9) < bound, (key, o, t)
+    o, t = float(ours["kl_loss"]), float(theirs["kl_loss"])
+    assert np.isfinite(o) and o > 0 and 0.5 < o / t < 2.0, (o, t)
