@@ -76,17 +76,29 @@ def install_reference_stubs():
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self
 
+    # numpy 2.x removed the np.float alias (it was builtin float); the
+    # reference's era-numpy code uses it in denormalize_poses /
+    # transform_normalized_parted2global (gesture_dataset.py:195-196) —
+    # restore the exact historical aliasing so the UNMODIFIED reference runs
+    import numpy as _np
+
+    if not hasattr(_np, "float"):
+        _np.float = float  # noqa: NPY201 — deliberate compat shim
+
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
     return torch
 
 
-def reference_voice2pose_step(model, optimizers, batch):
+def reference_voice2pose_step(model, optimizers, batch, dataset=None):
     """One reference Voice2Pose optimization step, verbatim semantics of
     core/pipelines/voice2pose.py:283-309 (sans logging/eval):
     zero grads -> G_loss.backward(retain_graph=True) -> ClipCode step -> G step
-    -> D zero grad -> D_loss.backward -> D step."""
-    losses_dict, results_dict = model(batch, None)
+    -> D zero grad -> D_loss.backward -> D step.  ``dataset`` is only
+    consulted by non-hierarchical configs (p2g renorm for the FGD encoder,
+    reference voice2pose.py:165-170) — pass the reference GestureDataset
+    there."""
+    losses_dict, results_dict = model(batch, dataset)
     losses_dict = {k: v.mean() for k, v in losses_dict.items()}
 
     if "optimizerClipCode" in optimizers:
