@@ -93,6 +93,22 @@ def main():
     pipe.state, losses3, _ = step_fn(pipe.state, pipe._device_batch(batch),
                                      jax.random.PRNGKey(99))
 
+    # RAGGED eval across processes: each process passes 3 local rows on 2
+    # local devices -> pad_eval_batch pads to 4 and the eval step gathers the
+    # STRIDED global valid pattern [0,1,2, 4,5,6] (the multi-process branch
+    # of the ragged-eval machinery); losses must be finite and identical
+    # (replicated) across hosts
+    from speechdrivestemplates_tpu.ops.mel import mel_frames_for_audio_length
+
+    ragged = jax.tree.map(
+        lambda v: np.asarray(v)[:3],
+        {k: v for k, v in batch.items() if k in pipe._DEVICE_KEYS})
+    rdb, rvalid, rsig = pipe._device_eval_batch(ragged)
+    assert rvalid is not None and rsig == (3, 1, nproc), (rvalid, rsig)
+    t_mel = mel_frames_for_audio_length(ragged["audio"].shape[-1])
+    eval_fn = pipe._get_eval_step(cfg.DATASET.NUM_FRAMES, t_mel, rvalid, rsig)
+    rlosses, _ = eval_fn(pipe.state, rdb, jax.random.PRNGKey(7), None)
+
     print("MPRESULT " + json.dumps({
         "process": pid,
         "seen": sorted(seen),
@@ -100,6 +116,7 @@ def main():
         "params_l1_before": params_before,
         "params_l1_after_restore": params_after,
         "post_restore_G_loss": float(np.asarray(losses3["G_loss"])),
+        "ragged_eval": {k: float(np.asarray(v)) for k, v in rlosses.items()},
     }), flush=True)
     jax.distributed.shutdown()
 

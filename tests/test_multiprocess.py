@@ -105,6 +105,12 @@ def test_two_process_distributed_train(tmp_path):
     for s0, s1 in zip(r0["losses"], r1["losses"]):
         for k in s0:
             np.testing.assert_allclose(s0[k], s1[k], rtol=1e-6, err_msg=k)
+    # ragged eval across processes (strided global valid rows): finite and
+    # identical on both hosts
+    for k in r0["ragged_eval"]:
+        assert np.isfinite(r0["ragged_eval"][k]), k
+        np.testing.assert_allclose(r0["ragged_eval"][k], r1["ragged_eval"][k],
+                                   rtol=1e-6, err_msg=f"ragged {k}")
     np.testing.assert_allclose(r0["post_restore_G_loss"],
                                r1["post_restore_G_loss"], rtol=1e-6)
     # identical replicated params, bit-exact checkpoint round-trip
