@@ -1,0 +1,196 @@
+"""Full-budget production workflow on real hardware, through the public CLI.
+
+Runs the COMPLETE reference user chain (reference README "Training"/"Testing"/
+"Demo" sections; core/pipelines/trainer.py:367,429,459) at the reference's
+default training budget (TRAIN.NUM_EPOCHS=100, configs/default.py:60) on a
+generated reference-layout dataset:
+
+  1. pose2pose.yaml        -- train the pose VAE 100 epochs (template codes)
+  2. voice2pose_sdt_bp.yaml -- train SDT-BP 100 epochs (FGD encoder from 1)
+  3. voice2pose_sdt_vae.yaml -- train SDT-VAE 100 epochs (external bank from 1)
+  4. voice2pose_s2g.yaml   -- train the GAN baseline 100 epochs
+  5. --test_only           -- SDT-BP eval (L2 / lip-sync / FGD) from 2's ckpt
+  6. --demo_input demo.wav -- wav -> rendered mp4 from 2's ckpt
+  7. --export / --export_torch -- serving artifact + reference-format .pth
+
+Every stage is a subprocess invocation of ``python main.py`` -- exactly what a
+user types -- timed wall-clock.  Emits one JSON line per stage and a summary.
+
+Usage:  python bench_e2e.py [--root DIR] [--train 1024] [--dev 131]
+                            [--epochs 100] [--batch 32] [--stages 1234567]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def latest_ckpt(out_dir: str) -> str:
+    cands = sorted(glob.glob(os.path.join(out_dir, "*", "checkpoints", "*")))
+    assert cands, f"no checkpoint under {out_dir}"
+    return cands[-1]
+
+
+def run_stage(name: str, argv: list[str], results: list, env=None) -> float:
+    print(f"\n=== [{name}] {' '.join(argv)}", flush=True)
+    tic = time.time()
+    proc = subprocess.run(argv, cwd=REPO, env=env)
+    wall = time.time() - tic
+    rec = {"stage": name, "wall_s": round(wall, 1), "ok": proc.returncode == 0}
+    results.append(rec)
+    print(json.dumps(rec), flush=True)
+    assert proc.returncode == 0, f"stage {name} failed"
+    return wall
+
+
+def grep_metrics(out_dir: str) -> dict:
+    """Pull the last test/val metric line out of the newest experiment log."""
+    logs = sorted(glob.glob(os.path.join(out_dir, "*", "*.log")))
+    if not logs:
+        return {}
+    metrics = {}
+    with open(logs[-1]) as f:
+        for line in f:
+            for key in ("L2_dist", "lip_sync_error_n", "FGD_mu", "FGD_mu_logvar",
+                        "G_reg_loss", "reg_loss", "kl_loss"):
+                if key + ":" in line:
+                    try:
+                        val = float(line.split(key + ":")[1].split()[0].rstrip(","))
+                        metrics[key] = val
+                    except (ValueError, IndexError):
+                        pass
+    return metrics
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/sdt_production")
+    ap.add_argument("--train", type=int, default=1024)
+    ap.add_argument("--dev", type=int, default=131)
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--stages", default="1234567",
+                    help="subset of stage digits to run")
+    args = ap.parse_args()
+
+    data_root = os.path.join(args.root, "speakers")
+    demo_wav = os.path.join(args.root, "demo_audio.wav")
+    marker = os.path.join(data_root, "oliver",
+                          f".generated_{args.train}_{args.dev}")
+    if not os.path.exists(marker):
+        from speechdrivestemplates_tpu.datasets.synthetic import (
+            make_demo_wav, make_synthetic_speaker)
+
+        print(f"generating {args.train}+{args.dev} clips under {data_root} ...",
+              flush=True)
+        tic = time.time()
+        make_synthetic_speaker(data_root, "oliver", num_train=args.train,
+                               num_dev=args.dev)
+        make_demo_wav(demo_wav, seconds=8.0)
+        open(marker, "w").close()
+        print(f"dataset generated in {time.time() - tic:.1f}s", flush=True)
+
+    common = ["DATASET.ROOT_DIR", data_root, "DATASET.SPEAKER", "oliver",
+              "DATASET.CACHING", "True",
+              "TRAIN.NUM_EPOCHS", str(args.epochs),
+              "TRAIN.BATCH_SIZE", str(args.batch),
+              "TEST.BATCH_SIZE", str(args.batch),
+              "TRAIN.CHECKPOINT_INTERVAL", str(min(10, args.epochs)),
+              "TRAIN.SAVE_VIDEO", "False", "TEST.SAVE_VIDEO", "False",
+              "SYS.LOG_INTERVAL", "200", "SYS.NUM_WORKERS", "2"]
+    py = sys.executable
+    results = []
+    out = {k: os.path.join(args.root, f"out_{k}")
+           for k in ("p2p", "bp", "vae", "s2g")}
+
+    total_tic = time.time()
+    if "1" in args.stages:
+        run_stage("pose2pose-100ep", [
+            py, "main.py", "--config_file", "configs/pose2pose.yaml",
+            "--tag", "prod", *common, "SYS.OUTPUT_DIR", out["p2p"]], results)
+    ae_ckpt = (latest_ckpt(out["p2p"])
+               if any(s in args.stages for s in "2345") else None)
+
+    if "2" in args.stages:
+        run_stage("sdt_bp-100ep", [
+            py, "main.py", "--config_file", "configs/voice2pose_sdt_bp.yaml",
+            "--tag", "prod", *common,
+            "VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT", ae_ckpt,
+            "SYS.OUTPUT_DIR", out["bp"]], results)
+
+    if "3" in args.stages:
+        run_stage("sdt_vae-100ep", [
+            py, "main.py", "--config_file", "configs/voice2pose_sdt_vae.yaml",
+            "--tag", "prod", *common,
+            "VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT", ae_ckpt,
+            "SYS.OUTPUT_DIR", out["vae"]], results)
+
+    if "4" in args.stages:
+        run_stage("s2g_gan-100ep", [
+            py, "main.py", "--config_file", "configs/voice2pose_s2g.yaml",
+            "--tag", "prod", *common,
+            "VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT", ae_ckpt,
+            "SYS.OUTPUT_DIR", out["s2g"]], results)
+
+    bp_ckpt = (latest_ckpt(out["bp"])
+               if any(s in args.stages for s in "567") else None)
+    if "5" in args.stages:
+        run_stage("test_only(sdt_bp)", [
+            py, "main.py", "--config_file", "configs/voice2pose_sdt_bp.yaml",
+            "--test_only", "--checkpoint", bp_ckpt, "--tag", "prod", *common,
+            "VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT", ae_ckpt,
+            "SYS.OUTPUT_DIR", os.path.join(args.root, "out_test")], results)
+        m = grep_metrics(os.path.join(args.root, "out_test"))
+        print("test metrics:", json.dumps(m), flush=True)
+        results.append({"stage": "test_metrics", **m})
+
+    if "6" in args.stages:
+        run_stage("demo(wav->mp4)", [
+            py, "main.py", "--config_file", "configs/voice2pose_sdt_bp.yaml",
+            "--demo_input", demo_wav, "--checkpoint", bp_ckpt,
+            "--tag", "prod", *common,
+            "SYS.OUTPUT_DIR", os.path.join(args.root, "out_demo"),
+            "TEST.SAVE_VIDEO", "True"], results)  # later KEY VALUE wins
+        vids = glob.glob(os.path.join(args.root, "out_demo", "*", "**", "*.mp4"),
+                         recursive=True)
+        print("demo artifacts:", vids, flush=True)
+        results.append({"stage": "demo_artifacts", "mp4": len(vids)})
+
+    if "7" in args.stages:
+        run_stage("export(stablehlo)", [
+            py, "main.py", "--config_file", "configs/voice2pose_sdt_bp.yaml",
+            "--checkpoint", bp_ckpt, "--export",
+            os.path.join(args.root, "serving_artifact"), "--tag", "prod",
+            *common, "SYS.OUTPUT_DIR", os.path.join(args.root, "out_export")],
+            results)
+        run_stage("export_torch(.pth)", [
+            py, "main.py", "--config_file", "configs/voice2pose_sdt_bp.yaml",
+            "--checkpoint", bp_ckpt, "--export_torch",
+            os.path.join(args.root, "sdt_bp_prod.pth"), "--tag", "prod",
+            *common, "SYS.OUTPUT_DIR", os.path.join(args.root, "out_export")],
+            results)
+
+    total = time.time() - total_tic
+    steps_per_epoch = -(-args.train // args.batch)
+    summary = {
+        "metric": "e2e_production_wall",
+        "value": round(total, 1), "unit": "s",
+        "dataset": f"{args.train}+{args.dev} clips",
+        "budget": f"{args.epochs} epochs x {steps_per_epoch} steps, batch {args.batch}",
+        "stages": results,
+    }
+    print("\n" + json.dumps(summary), flush=True)
+    with open(os.path.join(args.root, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

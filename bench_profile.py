@@ -264,6 +264,95 @@ def profile_train(batch: int):
             print(f"  cost_analysis unavailable: {e}")
 
 
+def profile_shift_probe(n_planes: int = 128, C: int = 128):
+    """Measure the cost structure that killed the round-2 fused stem kernel
+    (ops/stem_pallas.py): per-tap sub-tile-offset VMEM slices.  Pallas
+    variants of the same 9-tap conv-as-matmul workload on a (H*W, C) plane:
+
+      aligned   all 9 tap reads at offset 0 (pure MXU + aligned-read floor)
+      subtile   9 reads at sublane offsets 0..8 (the round-2 kernel's pattern)
+
+    (Two shift-hoisting variants were tried and are unimplementable on this
+    Mosaic version: pltpu.roll rejects bf16 ("Rotate with non-32-bit data"),
+    and async_copy requires 8-sublane-aligned slice lengths, which a
+    +-1-sublane shift by definition is not.)
+
+    MEASURED (v5e, 2026-08-17): at C=128 subtile runs at ~89% of bf16 peak —
+    sub-tile-offset window slices on a FLAT (M, C) buffer are essentially
+    free, so the r2 postmortem's blamed cost does not reproduce in this
+    layout; the r2 kernel's 15 ms came from its 4D mid-dim tap slices and
+    64-lane buffers (at C=64 both variants collapse to ~16% of peak while
+    XLA's tap-concatenated einsum holds 64%).  Design rule for stem v2:
+    flatten (h, w) into the sublane axis and keep every buffer 128 lanes
+    dense.  Numerical boundary handling is deliberately absent — cost probe
+    only."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # W a multiple of 16 -> dy offsets tile-aligned; H kept small so the plane,
+    # its two shifted copies, the fp32 accumulator, and Pallas's double-buffered
+    # grid blocks all fit in 16 MB VMEM together.
+    H, W = 20, 224
+    M = H * W
+    M_out = M - 2 * W
+
+    key = jax.random.PRNGKey(0)
+    x = (jax.random.normal(key, (n_planes, M, C), jnp.float32) * 0.1
+         ).astype(jnp.bfloat16)
+    w = (jax.random.normal(key, (9, C, C), jnp.float32) * 0.05
+         ).astype(jnp.bfloat16)
+    x, w = jax.device_put(x), jax.device_put(w)
+
+    def call(kernel, extra_scratch=()):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_planes,),
+            in_specs=[pl.BlockSpec((1, M, C), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((9, C, C), lambda i: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, M_out, C), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_planes, M_out, C), jnp.bfloat16),
+            scratch_shapes=list(extra_scratch),
+        )
+
+    def k_aligned(x_ref, w_ref, o_ref):
+        acc = jnp.zeros((M_out, C), jnp.float32)
+        for t in range(9):
+            acc += jnp.dot(x_ref[0, :M_out, :], w_ref[t],
+                           preferred_element_type=jnp.float32)
+        o_ref[0] = acc.astype(jnp.bfloat16)
+
+    def k_subtile(x_ref, w_ref, o_ref):
+        acc = jnp.zeros((M_out, C), jnp.float32)
+        for t in range(9):
+            acc += jnp.dot(x_ref[0, t:t + M_out, :], w_ref[t],
+                           preferred_element_type=jnp.float32)
+        o_ref[0] = acc.astype(jnp.bfloat16)
+
+    variants = [
+        ("aligned (floor)", call(k_aligned)),
+        ("subtile (r2 pattern)", call(k_subtile)),
+        ("xla 9-matmul", jax.jit(lambda x, w: jnp.einsum(
+            "nmc,tcd->nmd", x[:, :M_out].astype(jnp.bfloat16), w,
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16))),
+    ]
+    gflop = 2.0 * n_planes * 9 * M_out * C * C / 1e9
+    print(f"\n== tap-shift probe: {n_planes} planes of ({H}x{W}, {C}) bf16, "
+          f"9 taps, {gflop:.0f} GFLOP ==")
+    for name, fn in variants:
+        try:
+            jfn = jax.jit(fn)
+            ms = _slope_time(jfn, (x, w)) * 1e3
+            eff = gflop / ms / 197 * 100   # GFLOP/ms = TFLOP/s; v5e bf16 peak 197
+            print(f"  {name:<22} {ms:8.3f} ms   {eff:5.1f}% of bf16 peak")
+        except Exception as e:
+            print(f"  {name:<22} FAILED: {type(e).__name__}: {e}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128,
@@ -273,11 +362,18 @@ def main():
     ap.add_argument("--train-floor", action="store_true",
                     help="train-step speed-of-light bisect (fwd / fwd+bwd / "
                          "full step vs the composite roofline floor)")
+    ap.add_argument("--shift-probe", action="store_true",
+                    help="Pallas tap-shift cost probe (see profile_shift_probe)")
+    ap.add_argument("--probe-c", type=int, default=128,
+                    help="channel count for --shift-probe (64 = stem layers 1-2)")
     args = ap.parse_args()
 
     import bench
 
     bench._enable_compile_cache()
+    if args.shift_probe:
+        profile_shift_probe(C=args.probe_c)
+        return
     if args.train_floor:
         profile_train_phases(args.train_batch)
         return
