@@ -353,6 +353,60 @@ def profile_shift_probe(n_planes: int = 128, C: int = 128):
             print(f"  {name:<22} FAILED: {type(e).__name__}: {e}")
 
 
+def profile_conv1(batch: int = 128, width: int = 427):
+    """Fused conv1+IN1 kernel (ops/conv1_pallas.py) vs the XLA lowering of
+    the same segment, and the downstream layer-1 conv on both layouts (the
+    kernel's padded output must not slow the consumer)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speechdrivestemplates_tpu.models.blocks import NORM_EPS
+    from speechdrivestemplates_tpu.ops.conv1_pallas import fused_conv1_in
+
+    key = jax.random.PRNGKey(0)
+    mel = jax.device_put(jax.random.normal(key, (batch, 80, width)) * 0.1)
+    w1 = jax.device_put(jax.random.normal(key, (3, 3, 1, 64)) * 0.2)
+    w2 = jax.device_put(jax.random.normal(key, (4, 4, 64, 64)) * 0.05)
+
+    def xla_layer(x, w, stride, pad, slope=0.2):
+        x = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), window_strides=stride, padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        m = jnp.mean(x, axis=(1, 2), keepdims=True)
+        v = jnp.var(x, axis=(1, 2), keepdims=True)
+        x = (x - m) * jax.lax.rsqrt(v + NORM_EPS)
+        return jnp.where(x > 0, x, slope * x)
+
+    bf = jnp.bfloat16
+    sym, hvalid = [(1, 1), (1, 1)], [(0, 0), (1, 1)]
+    cases = [
+        ("xla conv1+IN1", jax.jit(
+            lambda a: xla_layer(a[..., None].astype(bf), w1, (1, 1), sym))),
+        ("pallas fused conv1+IN1", jax.jit(
+            lambda a: fused_conv1_in(a, w1, dtype=bf))),
+        ("xla seg1+layer1", jax.jit(
+            lambda a: xla_layer(xla_layer(a[..., None].astype(bf), w1,
+                                          (1, 1), sym), w2, (2, 2), sym))),
+        ("pallas seg1+layer1", jax.jit(
+            lambda a: xla_layer(fused_conv1_in(a, w1, dtype=bf), w2,
+                                (2, 2), hvalid))),
+    ]
+    print(f"\n== conv1+IN1 segment, batch {batch}, width {width}, bf16 ==")
+    for name, fn in cases:
+        try:
+            ms = _slope_time(fn, (mel,)) * 1e3
+            print(f"  {name:<26} {ms:8.3f} ms")
+        except Exception as e:
+            print(f"  {name:<26} FAILED: {type(e).__name__}: {e}")
+
+    # numerical check on hardware (bf16 grade)
+    import numpy as np
+    a = np.asarray(cases[2][1](mel), np.float32)
+    b = np.asarray(cases[3][1](mel), np.float32)
+    err = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-8)
+    print(f"  rel err (xla vs pallas composition): {err:.2e}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128,
@@ -366,6 +420,8 @@ def main():
                     help="Pallas tap-shift cost probe (see profile_shift_probe)")
     ap.add_argument("--probe-c", type=int, default=128,
                     help="channel count for --shift-probe (64 = stem layers 1-2)")
+    ap.add_argument("--conv1-probe", action="store_true",
+                    help="fused conv1+IN1 kernel vs the XLA segment")
     args = ap.parse_args()
 
     import bench
@@ -373,6 +429,9 @@ def main():
     bench._enable_compile_cache()
     if args.shift_probe:
         profile_shift_probe(C=args.probe_c)
+        return
+    if args.conv1_probe:
+        profile_conv1(args.batch)
         return
     if args.train_floor:
         profile_train_phases(args.train_batch)

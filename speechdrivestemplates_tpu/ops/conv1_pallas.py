@@ -40,8 +40,24 @@ statistics fp32 with biased variance and eps 1e-5 — the same semantics as
 models/blocks.py `_normalize_free` — then cast to the compute dtype.
 Matches the XLA path to ~1e-6 in fp32 (see tests/test_conv1_pallas.py).
 
-Used only when ``train=False`` (no autodiff path) on the TPU backend; the
-training step and CPU/GPU keep the XLA lowering.
+MEASURED OUTCOME (v5e, batch 128, W=427, bf16; bench_profile.py
+--conv1-probe, 2026-08-17): numerically correct on hardware (4.9e-3 rel err
+vs the XLA composition, bf16 grade) but **11.2 ms vs 3.36 ms for XLA's own
+conv1+IN1 lowering** — a documented NEGATIVE result; the kernel is NOT wired
+into any model path.  Root cause (a different failure class than
+ops/stem_pallas.py): each of the 9 whole-plane elementwise tap FMAs is one
+VMEM traversal that re-reads the 9 MB fp32 broadcast plane AND re-reads +
+re-writes the fp32 accumulator (~27 MB x 9 taps x 128 samples ~ 31 GB of
+VMEM traffic ~ 10 ms) — elementwise accumulation loops over whole-plane
+values do not keep the accumulator in registers.  The tap-matmul form
+(ops/stem_pallas.py style, probe-verified at ~89% of peak) avoids this, but
+for THIS layer it is K=9/K=16 MXU starvation, and XLA's 3.36 ms is already
+within ~1.7x of the segment's 3-pass VMEM/HBM floor — there is no meaningful
+headroom for any hand kernel here.  Together with ops/stem_pallas.py this
+closes the stem question from both directions: matmul-formulated fusion
+loses to padded-density FLOP waste, VPU-formulated fusion loses to
+whole-plane accumulate traffic.  Kept as a tested record with the probe data
+(docs/PERF.md "Stem speed-of-light").
 """
 
 from __future__ import annotations
