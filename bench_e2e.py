@@ -34,8 +34,19 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def latest_ckpt(out_dir: str) -> str:
-    cands = sorted(glob.glob(os.path.join(out_dir, "*", "checkpoints", "*")))
-    assert cands, f"no checkpoint under {out_dir}"
+    """Newest checkpoint by (epoch, step) — parsed numerically: a lexicographic
+    sort would rank epoch-90 above epoch-100."""
+    def key(path):
+        name = os.path.basename(path)
+        try:
+            return (int(name.split("epoch-")[1].split("_")[0]),
+                    int(name.split("step-")[1]))
+        except (IndexError, ValueError):
+            return (-1, -1)
+
+    cands = sorted(glob.glob(os.path.join(out_dir, "*", "checkpoints", "*")),
+                   key=key)
+    assert cands and key(cands[-1]) != (-1, -1), f"no checkpoint under {out_dir}"
     return cands[-1]
 
 
@@ -59,11 +70,14 @@ def grep_metrics(out_dir: str) -> dict:
     metrics = {}
     with open(logs[-1]) as f:
         for line in f:
+            # anchored on a leading space so e.g. 'reg_loss:' cannot match
+            # inside 'G_reg_loss:' (logger format is '  <name>: <val>')
             for key in ("L2_dist", "lip_sync_error_n", "FGD_mu", "FGD_mu_logvar",
                         "G_reg_loss", "reg_loss", "kl_loss"):
-                if key + ":" in line:
+                tok = " " + key + ":"
+                if tok in line:
                     try:
-                        val = float(line.split(key + ":")[1].split()[0].rstrip(","))
+                        val = float(line.split(tok)[1].split()[0].rstrip(","))
                         metrics[key] = val
                     except (ValueError, IndexError):
                         pass

@@ -70,7 +70,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NORM_EPS = 1e-5
+from ..models.blocks import NORM_EPS  # shared with the XLA path it mirrors
+
 H1 = 80                  # mel bins (fixed by the model family)
 ROWS = H1 + 2            # h-padded rows: 0 and 81 stay zero
 MAX_W1 = 448             # VMEM budget gate; longer demo mels fall back to XLA

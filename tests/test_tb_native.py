@@ -68,7 +68,10 @@ def test_gif_round_trip_and_pil_cross_validation(tmp_path):
                                                            gif_encode)
 
     rng = np.random.RandomState(0)
-    noisy = rng.randint(0, 256, (5, 40, 50, 3), np.uint8)
+    # a noisy frame must supply > 4096 LZW table entries to force the
+    # mid-stream dictionary reset (each pixel can add at most one entry, so
+    # frames need >= 4096 pixels; 72x72 = 5184)
+    noisy = rng.randint(0, 256, (3, 72, 72, 3), np.uint8)
     flat = np.full((8, 32, 48, 3), 255, np.uint8)
     for t in range(8):
         flat[t, :, 5 * t: 5 * t + 3] = [255, 0, 0]
