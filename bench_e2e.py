@@ -191,6 +191,18 @@ def main():
             os.path.join(args.root, "sdt_bp_prod.pth"), "--tag", "prod",
             *common, "SYS.OUTPUT_DIR", os.path.join(args.root, "out_export")],
             results)
+        # close the loop: serve from the exported artifact with the standalone
+        # runner (imports nothing from the framework)
+        run_stage("serve(artifact)", [
+            py, "serving/run_artifact.py",
+            os.path.join(args.root, "serving_artifact"), demo_wav,
+            os.path.join(args.root, "served_poses.npz")], results)
+        import numpy as np
+        poses = np.load(os.path.join(args.root, "served_poses.npz"))
+        shp = {k: list(poses[k].shape) for k in poses.files}
+        print("served artifact output:", shp, flush=True)
+        results.append({"stage": "served_output", **{k: str(v)
+                                                     for k, v in shp.items()}})
 
     total = time.time() - total_tic
     steps_per_epoch = -(-args.train // args.batch)
