@@ -50,15 +50,35 @@ def latest_ckpt(out_dir: str) -> str:
     return cands[-1]
 
 
-def run_stage(name: str, argv: list[str], results: list, env=None) -> float:
-    print(f"\n=== [{name}] {' '.join(argv)}", flush=True)
+def run_stage(name: str, argv: list[str], results: list, env=None,
+              timeout: float | None = None, retries: int = 0,
+              resume_extra: list[str] | None = None) -> float:
+    """Run one CLI stage; on a hang (per-stage ``timeout``) or crash, retry up
+    to ``retries`` times with ``resume_extra`` appended (for training stages:
+    ``TRAIN.AUTO_RESUME True``, so the retry continues from the newest
+    checkpoint instead of restarting).  A wedged device tunnel — observed
+    once in production: the chip stopped answering mid-epoch and the
+    subprocess blocked forever on the device fence — then costs one timeout
+    window, not the whole run."""
     tic = time.time()
-    proc = subprocess.run(argv, cwd=REPO, env=env)
+    for attempt in range(retries + 1):
+        cmd = list(argv) + (resume_extra if attempt and resume_extra else [])
+        print(f"\n=== [{name}] (attempt {attempt + 1}) {' '.join(cmd)}",
+              flush=True)
+        try:
+            proc = subprocess.run(cmd, cwd=REPO, env=env, timeout=timeout)
+            code = proc.returncode
+        except subprocess.TimeoutExpired:
+            code = "timeout"
+        if code == 0:
+            break
+        print(f"stage {name} attempt {attempt + 1} -> {code}", flush=True)
     wall = time.time() - tic
-    rec = {"stage": name, "wall_s": round(wall, 1), "ok": proc.returncode == 0}
+    rec = {"stage": name, "wall_s": round(wall, 1), "ok": code == 0,
+           "attempts": attempt + 1}
     results.append(rec)
     print(json.dumps(rec), flush=True)
-    assert proc.returncode == 0, f"stage {name} failed"
+    assert code == 0, f"stage {name} failed ({code})"
     return wall
 
 
@@ -93,7 +113,13 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--stages", default="1234567",
                     help="subset of stage digits to run")
+    ap.add_argument("--stage_timeout", type=float, default=5400,
+                    help="seconds before a hung training stage is killed and "
+                         "retried with TRAIN.AUTO_RESUME (0 = no timeout)")
     args = ap.parse_args()
+    t_train = dict(timeout=args.stage_timeout or None, retries=2,
+                   resume_extra=["TRAIN.AUTO_RESUME", "True"])
+    t_light = dict(timeout=min(args.stage_timeout or 1800, 1800), retries=1)
 
     data_root = os.path.join(args.root, "speakers")
     demo_wav = os.path.join(args.root, "demo_audio.wav")
@@ -129,7 +155,7 @@ def main():
     if "1" in args.stages:
         run_stage("pose2pose-100ep", [
             py, "main.py", "--config_file", "configs/pose2pose.yaml",
-            "--tag", "prod", *common, "SYS.OUTPUT_DIR", out["p2p"]], results)
+            "--tag", "prod", *common, "SYS.OUTPUT_DIR", out["p2p"]], results, **t_train)
     ae_ckpt = (latest_ckpt(out["p2p"])
                if any(s in args.stages for s in "2345") else None)
 
@@ -138,21 +164,21 @@ def main():
             py, "main.py", "--config_file", "configs/voice2pose_sdt_bp.yaml",
             "--tag", "prod", *common,
             "VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT", ae_ckpt,
-            "SYS.OUTPUT_DIR", out["bp"]], results)
+            "SYS.OUTPUT_DIR", out["bp"]], results, **t_train)
 
     if "3" in args.stages:
         run_stage("sdt_vae-100ep", [
             py, "main.py", "--config_file", "configs/voice2pose_sdt_vae.yaml",
             "--tag", "prod", *common,
             "VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT", ae_ckpt,
-            "SYS.OUTPUT_DIR", out["vae"]], results)
+            "SYS.OUTPUT_DIR", out["vae"]], results, **t_train)
 
     if "4" in args.stages:
         run_stage("s2g_gan-100ep", [
             py, "main.py", "--config_file", "configs/voice2pose_s2g.yaml",
             "--tag", "prod", *common,
             "VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT", ae_ckpt,
-            "SYS.OUTPUT_DIR", out["s2g"]], results)
+            "SYS.OUTPUT_DIR", out["s2g"]], results, **t_train)
 
     bp_ckpt = (latest_ckpt(out["bp"])
                if any(s in args.stages for s in "567") else None)
@@ -161,7 +187,7 @@ def main():
             py, "main.py", "--config_file", "configs/voice2pose_sdt_bp.yaml",
             "--test_only", "--checkpoint", bp_ckpt, "--tag", "prod", *common,
             "VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT", ae_ckpt,
-            "SYS.OUTPUT_DIR", os.path.join(args.root, "out_test")], results)
+            "SYS.OUTPUT_DIR", os.path.join(args.root, "out_test")], results, **t_light)
         m = grep_metrics(os.path.join(args.root, "out_test"))
         print("test metrics:", json.dumps(m), flush=True)
         results.append({"stage": "test_metrics", **m})
@@ -172,7 +198,7 @@ def main():
             "--demo_input", demo_wav, "--checkpoint", bp_ckpt,
             "--tag", "prod", *common,
             "SYS.OUTPUT_DIR", os.path.join(args.root, "out_demo"),
-            "TEST.SAVE_VIDEO", "True"], results)  # later KEY VALUE wins
+            "TEST.SAVE_VIDEO", "True"], results, **t_light)  # later KEY VALUE wins
         vids = glob.glob(os.path.join(args.root, "out_demo", "*", "**", "*.mp4"),
                          recursive=True)
         print("demo artifacts:", vids, flush=True)
@@ -184,19 +210,19 @@ def main():
             "--checkpoint", bp_ckpt, "--export",
             os.path.join(args.root, "serving_artifact"), "--tag", "prod",
             *common, "SYS.OUTPUT_DIR", os.path.join(args.root, "out_export")],
-            results)
+            results, **t_light)
         run_stage("export_torch(.pth)", [
             py, "main.py", "--config_file", "configs/voice2pose_sdt_bp.yaml",
             "--checkpoint", bp_ckpt, "--export_torch",
             os.path.join(args.root, "sdt_bp_prod.pth"), "--tag", "prod",
             *common, "SYS.OUTPUT_DIR", os.path.join(args.root, "out_export")],
-            results)
+            results, **t_light)
         # close the loop: serve from the exported artifact with the standalone
         # runner (imports nothing from the framework)
         run_stage("serve(artifact)", [
             py, "serving/run_artifact.py",
             os.path.join(args.root, "serving_artifact"), demo_wav,
-            os.path.join(args.root, "served_poses.npz")], results)
+            os.path.join(args.root, "served_poses.npz")], results, **t_light)
         import numpy as np
         poses = np.load(os.path.join(args.root, "served_poses.npz"))
         shp = {k: list(poses[k].shape) for k in poses.files}

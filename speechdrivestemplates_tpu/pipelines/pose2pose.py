@@ -79,6 +79,11 @@ class Pose2Pose(Trainer):
     def state_to_save(self):
         return self.state
 
+    def load_torch_pth(self, path: str) -> None:
+        from ..utils.torch_import import import_pose2pose
+
+        self.state = replicate(self.mesh, import_pose2pose(path, self.state))
+
     def load_state(self, tree, load_optimizers: bool):
         from .trainer import restructure_like
 

@@ -279,6 +279,20 @@ class Trainer:
         with ocp.PyTreeCheckpointer() as ckptr:
             return ckptr.restore(path)
 
+    @staticmethod
+    def _is_torch_pth(path: Optional[str]) -> bool:
+        return path is not None and path.endswith((".pth", ".pt"))
+
+    def load_torch_pth(self, path: str) -> None:
+        """Map a reference-format PyTorch checkpoint (.pth, the files the
+        reference publishes for every subject) onto this pipeline's state in
+        place: model weights, BN running stats, and template code banks.
+        Overridden per pipeline (utils/torch_import translators).  Optimizer
+        moments are torch-format and are NOT imported — so a .pth works for
+        --checkpoint / --pretrain_from / --export, not --resume_from."""
+        raise NotImplementedError(
+            f"{type(self).__name__} has no PyTorch checkpoint importer")
+
     # -- experiment lifecycle ------------------------------------------------------
     def setup_experiment(self, is_training: bool, exp_tag: str,
                          resume_from: Optional[str] = None,
@@ -316,6 +330,12 @@ class Trainer:
 
             if resume_from is not None:
                 assert os.path.exists(resume_from), f"not found: {resume_from}"
+                if self._is_torch_pth(resume_from):
+                    raise ValueError(
+                        "--resume_from needs optimizer state, which a "
+                        "PyTorch .pth cannot provide across frameworks; use "
+                        "--pretrain_from %s to continue from its model "
+                        "weights with fresh optimizers" % resume_from)
                 resume_from = self.resolve_checkpoint(resume_from)
                 if self.is_master_process():
                     print("Resuming from checkpoint: %s" % resume_from)
@@ -344,9 +364,16 @@ class Trainer:
                     assert os.path.exists(pretrain_from), f"not found: {pretrain_from}"
                     if self.is_master_process():
                         print("Loading from pretrained model: %s" % pretrain_from)
-                    tree = self.load_checkpoint_tree(pretrain_from)
-                    self.setup_model(self.cfg)
-                    self.load_state(tree["state"], load_optimizers=False)
+                    if self._is_torch_pth(pretrain_from):
+                        # reference-format .pth: model weights only, exactly
+                        # the reference's --pretrain_from semantics
+                        # (reference trainer.py:198-200)
+                        self.setup_model(self.cfg)
+                        self.load_torch_pth(pretrain_from)
+                    else:
+                        tree = self.load_checkpoint_tree(pretrain_from)
+                        self.setup_model(self.cfg)
+                        self.load_state(tree["state"], load_optimizers=False)
                 else:
                     self.setup_model(self.cfg)
                 self.setup_optimizer()
@@ -363,9 +390,16 @@ class Trainer:
 
             if checkpoint is not None:
                 print("Loading from checkpoint: %s" % checkpoint)
-                tree = self.load_checkpoint_tree(checkpoint)
-                self.setup_model(self.cfg)
-                self.load_state(tree["state"], load_optimizers=False)
+                if self._is_torch_pth(checkpoint):
+                    # a trained reference checkpoint evaluates / demos / exports
+                    # directly (reference trainer.py:215-221 is .pth-only; here
+                    # both formats work)
+                    self.setup_model(self.cfg)
+                    self.load_torch_pth(checkpoint)
+                else:
+                    tree = self.load_checkpoint_tree(checkpoint)
+                    self.setup_model(self.cfg)
+                    self.load_state(tree["state"], load_optimizers=False)
             else:
                 raise Exception("Checkpoint file is not provided.")
             return base_path

@@ -170,6 +170,12 @@ class Voice2Pose(Trainer):
                 or cfg.VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT)
         if path is None:
             raise RuntimeError("External code not provide.")
+        if self._is_torch_pth(path):
+            # a reference-trained Pose2Pose .pth works directly (its bank is
+            # the 'clip_code_mu' buffer, reference voice2pose.py:40-57)
+            from ..utils.torch_import import load_torch_state_dict
+
+            return np.asarray(load_torch_state_dict(path)["clip_code_mu"])
         tree = self.load_checkpoint_tree(path)
         return np.asarray(tree["state"]["clip_code_mu"])
 
@@ -177,6 +183,20 @@ class Voice2Pose(Trainer):
         """Frozen FGD encoder weights from a Pose2Pose (AE) checkpoint — the AE's
         'encoder' subtree transplants directly onto the standalone PoseSeqEncoder
         (reference strips the 'module.ae.encoder.' prefix, voice2pose.py:234-242)."""
+        if self._is_torch_pth(path):
+            # reference-trained Pose2Pose .pth: its 'ae.encoder.*' layers map
+            # onto the standalone PoseSeqEncoder by name
+            from ..utils.torch_import import (_to_mutable, import_module_params,
+                                              load_torch_state_dict,
+                                              translate_pose_encoder)
+
+            sd = load_torch_state_dict(path)
+            params = _to_mutable(self.state["params_pe"])
+            bs = _to_mutable(self.state.get("batch_stats_pe", {}))
+            import_module_params(sd, "ae.encoder.", params, bs,
+                                 translate_pose_encoder)
+            self.state["params_pe"], self.state["batch_stats_pe"] = params, bs
+            return
         tree = self.load_checkpoint_tree(path)
         self.state["params_pe"] = jax.tree.map(
             jnp.asarray, tree["state"]["params_ae"]["encoder"])
@@ -221,6 +241,11 @@ class Voice2Pose(Trainer):
     # -- checkpoint pytree --------------------------------------------------------
     def state_to_save(self):
         return self.state
+
+    def load_torch_pth(self, path: str) -> None:
+        from ..utils.torch_import import import_voice2pose
+
+        self.state = replicate(self.mesh, import_voice2pose(path, self.state))
 
     def load_state(self, tree, load_optimizers: bool):
         from .trainer import restructure_like

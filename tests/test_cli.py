@@ -160,3 +160,53 @@ def test_cli_preemption_checkpoint_and_auto_resume(tmp_path):
 
     found = Trainer.find_auto_resume(out, "voice2pose_sdt_bp-TRAIN-pre")
     assert found is not None and os.path.basename(ckpts[0]) == os.path.basename(found)
+
+
+@pytest.mark.slow
+def test_cli_eval_from_pth_matches_orbax(tmp_path):
+    """A reference-format .pth passed straight to --checkpoint (the migration
+    path for the reference's published checkpoints) evaluates to EXACTLY the
+    metrics of the orbax checkpoint it was exported from; --pretrain_from
+    accepts it; --resume_from rejects it with guidance."""
+    import re
+
+    root = str(tmp_path / "speakers")
+    make_synthetic_speaker(root, "oliver", num_train=4, num_dev=2)
+    out = str(tmp_path / "out")
+
+    common = [
+        "DATASET.ROOT_DIR", root, "DATASET.SPEAKER", "oliver",
+        "TRAIN.NUM_EPOCHS", "1", "TRAIN.BATCH_SIZE", "2", "TEST.BATCH_SIZE", "2",
+        "TRAIN.SAVE_VIDEO", "False", "TEST.SAVE_VIDEO", "False",
+        "TRAIN.VALIDATE", "False", "SYS.OUTPUT_DIR", out, "SYS.MESH.DATA", "1",
+        "SYS.NUM_WORKERS", "0",
+    ]
+    r = _run(["--config_file", "configs/voice2pose_sdt_bp.yaml", "--tag", "pp"]
+             + common)
+    assert r.returncode == 0, r.stderr[-2000:]
+    exp = glob.glob(os.path.join(out, "*TRAIN*"))[0]
+    pth = os.path.join(out, "sdt_bp.pth")
+    r = _run(["--config_file", "configs/voice2pose_sdt_bp.yaml",
+              "--checkpoint", exp, "--export_torch", pth] + common)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    def metrics_of(checkpoint):
+        r = _run(["--config_file", "configs/voice2pose_sdt_bp.yaml", "--tag",
+                  "pp", "--test_only", "--checkpoint", checkpoint] + common)
+        assert r.returncode == 0, r.stderr[-2000:]
+        m = re.search(r"\[TEST\].*L2_dist: ([\d.]+).*FGD_mu: ([\d.]+)",
+                      r.stdout + r.stderr)
+        assert m, (r.stdout + r.stderr)[-3000:]
+        return float(m.group(1)), float(m.group(2))
+
+    assert metrics_of(exp) == metrics_of(pth)
+
+    # --pretrain_from <.pth> trains from the imported weights
+    r = _run(["--config_file", "configs/voice2pose_sdt_bp.yaml", "--tag", "pt",
+              "--pretrain_from", pth] + common)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # --resume_from <.pth> is rejected with guidance
+    r = _run(["--config_file", "configs/voice2pose_sdt_bp.yaml", "--tag", "pp",
+              "--resume_from", pth] + common)
+    assert r.returncode != 0 and "pretrain_from" in (r.stdout + r.stderr)

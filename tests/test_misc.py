@@ -79,3 +79,36 @@ def test_fgd_sanity(rng):
     far = compute_fgd(a, b)
     assert same < 1e-6
     assert far > 100  # ~16 * 9
+
+
+def test_bench_e2e_run_stage_retries_with_resume(tmp_path):
+    """A hung stage is killed at the per-stage timeout and retried with the
+    resume overrides appended (the AUTO_RESUME restart story for a wedged
+    device tunnel)."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from bench_e2e import run_stage
+
+    marker = tmp_path / "second_attempt"
+    prog = (
+        "import os, sys, time\n"
+        # first attempt: no resume flag appended -> hang past the timeout
+        "if 'RESUME' not in sys.argv: time.sleep(300)\n"
+        "open(%r, 'w').close()\n" % str(marker)
+    )
+    results = []
+    # timeout must cover interpreter startup under a loaded 1-core host (the
+    # hang branch sleeps far longer, so the distinction stays unambiguous)
+    wall = run_stage("fake", [sys.executable, "-c", prog], results,
+                     timeout=20.0, retries=1, resume_extra=["RESUME"])
+    assert marker.exists()
+    assert results[-1] == {"stage": "fake", "wall_s": round(wall, 1),
+                           "ok": True, "attempts": 2}
+
+    # a stage that never succeeds exhausts its retries and raises
+    results = []
+    with pytest.raises(AssertionError):
+        run_stage("dead", [sys.executable, "-c", "raise SystemExit(3)"],
+                  results, timeout=5.0, retries=1)
+    assert results[-1]["ok"] is False and results[-1]["attempts"] == 2

@@ -105,3 +105,67 @@ def test_import_pose2pose_checkpoint(tmp_path):
     bs = new_state["batch_stats_ae"]["encoder"]["ConvNormRelu_0"]["norm"]
     tm = sd["module.ae.encoder.blocks.0.norm.running_mean"].numpy()
     np.testing.assert_allclose(np.asarray(bs["mean"]), tm, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_ae_checkpoint_and_cli_paths_accept_pth(tmp_path):
+    """The config/CLI surfaces that take checkpoints accept a reference .pth
+    directly: VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT (frozen FGD encoder +
+    external code bank from a trained reference Pose2Pose), --checkpoint via
+    load_torch_pth, and --resume_from rejects it with guidance."""
+    import torch
+
+    sys.path.insert(0, REFERENCE)
+    from core.networks.poses_reconstruction.autoencoder import \
+        Autoencoder as TorchAE
+
+    from speechdrivestemplates_tpu.config import get_cfg_defaults
+    from speechdrivestemplates_tpu.datasets.synthetic import make_synthetic_speaker
+    from speechdrivestemplates_tpu.pipelines import get_pipeline
+
+    root = str(tmp_path / "speakers")
+    make_synthetic_speaker(root, "oliver", num_train=4, num_dev=2)
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+    # fabricate a reference-style Pose2Pose checkpoint (.pth)
+    p2p = get_cfg_defaults()
+    p2p.merge_from_file(os.path.join(cfg_dir, "pose2pose.yaml"))
+    p2p.DATASET.ROOT_DIR = root
+    p2p.DATASET.SPEAKER = "oliver"
+    p2p.freeze()
+    torch.manual_seed(0)
+    tae = TorchAE(p2p)
+    sd = {f"module.ae.{k}": v for k, v in tae.state_dict().items()}
+    sd["module.clip_code_mu"] = torch.randn(4, 32)
+    sd["module.clip_code_logvar"] = torch.randn(4, 32)
+    pth = str(tmp_path / "ref_p2p.pth")
+    torch.save({"model_state_dict": sd}, pth)
+
+    # SDT-VAE setup_model with AE_CHECKPOINT=<.pth>: frozen encoder weights and
+    # the external template bank must come from the torch file
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(os.path.join(cfg_dir, "voice2pose_sdt_vae.yaml"))
+    cfg.DATASET.ROOT_DIR = root
+    cfg.DATASET.SPEAKER = "oliver"
+    cfg.TRAIN.BATCH_SIZE = 4
+    cfg.SYS.MESH.DATA = 1
+    cfg.VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT = pth
+    cfg.freeze()
+    pipe = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
+    pipe.setup_dataset(cfg, "train")
+    pipe.setup_model(cfg)
+
+    np.testing.assert_allclose(np.asarray(pipe.state["clips_code"]),
+                               sd["module.clip_code_mu"].numpy(), atol=1e-6)
+    tw = sd["module.ae.encoder.blocks.0.conv.weight"].numpy()
+    ours = np.asarray(
+        pipe.state["params_pe"]["ConvNormRelu_0"]["conv"]["kernel"])
+    np.testing.assert_allclose(ours, np.transpose(tw, (2, 1, 0)), atol=1e-6)
+    tm = sd["module.ae.encoder.blocks.0.norm.running_mean"].numpy()
+    np.testing.assert_allclose(
+        np.asarray(pipe.state["batch_stats_pe"]["ConvNormRelu_0"]["norm"]["mean"]),
+        tm, atol=1e-6)
+
+    # --resume_from <.pth> is rejected with guidance toward --pretrain_from
+    with pytest.raises(ValueError, match="pretrain_from"):
+        pipe.setup_experiment(True, "x", resume_from=pth)
