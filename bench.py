@@ -35,6 +35,33 @@ def _enable_compile_cache():
         pass
 
 
+def _wait_for_device(max_wait_s: float = 1800, probe_timeout: float = 120) -> bool:
+    """The chip is reached through a remote tunnel that has been observed to
+    wedge for tens of minutes (a production run once blocked forever on a
+    device fence).  Probe enumeration in a SUBPROCESS — a hang there cannot
+    wedge this process — and wait for recovery, so a transient outage delays
+    the bench instead of silently hanging it."""
+    import subprocess
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        print(f"[bench] device unreachable (probe {attempt}); retrying",
+              file=sys.stderr, flush=True)
+        time.sleep(30)
+
+
 def bench_inference(batch: int = 128, iters: int = 40, warmup: int = 5):
     # batch 128 is the measured serving sweet spot on v5e (703k frames/s vs
     # 578k at batch 32 and 468k at 64 — XLA tiling, see docs/STATUS_r2.md)
@@ -177,14 +204,36 @@ def _emit(frames_per_sec: float):
 
 def main():
     _enable_compile_cache()
+    import threading
+
+    if not _wait_for_device():
+        # an honest failure line beats a silent hang: the driver records
+        # SOMETHING, and the zero is unmistakably an outage, not a regression
+        print(json.dumps({"metric": "pose_frames_per_sec_per_chip",
+                          "value": 0, "unit": "frames/s", "vs_baseline": 0,
+                          "error": "device unreachable for 30 min"}),
+              flush=True)
+        sys.exit(1)
+
+    # if the tunnel dies MID-bench, fail loudly rather than hang forever
+    def no_primary():
+        print("[bench] primary inference bench wedged; device lost mid-run?",
+              file=sys.stderr, flush=True)
+        print(json.dumps({"metric": "pose_frames_per_sec_per_chip",
+                          "value": 0, "unit": "frames/s", "vs_baseline": 0,
+                          "error": "device lost mid-bench"}), flush=True)
+        os._exit(1)
+
+    primary_watchdog = threading.Timer(2400.0, no_primary)
+    primary_watchdog.daemon = True
+    primary_watchdog.start()
     frames_per_sec, step_time = bench_inference()
+    primary_watchdog.cancel()
     print(f"[bench] inference: {frames_per_sec:.1f} pose-frames/s/chip "
           f"({step_time*1e3:.2f} ms / batch-128 fwd)", file=sys.stderr, flush=True)
 
     # The primary metric is secured; guard the auxiliary train-step bench with a
     # watchdog so a wedged remote compile can never swallow the JSON line.
-    import threading
-
     def bail():
         print("[bench] train-step bench timed out; emitting primary metric",
               file=sys.stderr, flush=True)
