@@ -407,6 +407,113 @@ def profile_conv1(batch: int = 128, width: int = 427):
     print(f"  rel err (xla vs pallas composition): {err:.2e}")
 
 
+def conv_as_patches_matmul(x, w, stride, padding):
+    """Convolution expressed as patch extraction + ONE dot_general, so autodiff
+    produces matmul gradients instead of conv-transpose/conv-filter-grad
+    kernels.  Candidate fix for the measured batch-128 train gap (docs/PERF.md
+    "train speed-of-light": the 1.37x-floor residue sits in XLA's
+    conv-backward achieved bandwidth on the full-res stem planes).
+    Feature order of conv_general_dilated_patches is (C_in major, then kh, kw)
+    — pinned by tests/test_misc.py::test_conv_as_patches_matmul_matches_conv."""
+    import jax
+    import jax.numpy as jnp
+
+    kh, kw, ci, co = w.shape
+    p = jax.lax.conv_general_dilated_patches(
+        x, (kh, kw), stride, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    w_mat = jnp.transpose(w, (2, 0, 1, 3)).reshape(ci * kh * kw, co)
+    return jax.lax.dot_general(
+        p, w_mat.astype(p.dtype), (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(p.dtype)
+
+
+def profile_conv_bwd(batch: int = 128, width: int = 427):
+    """A/B the stem's fwd+bwd cost: XLA convs vs the patches-matmul
+    formulation, per layer and for the chained 3-layer stem (IN + lrelu
+    between layers, loss = sum, grads w.r.t. all weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speechdrivestemplates_tpu.models.blocks import NORM_EPS
+
+    key = jax.random.PRNGKey(0)
+    bf = jnp.bfloat16
+    mel = jax.device_put(jax.random.normal(key, (batch, 80, width, 1),
+                                           dtype=jnp.float32) * 0.1)
+    x64 = jax.device_put(jax.random.normal(key, (batch, 80, width, 64),
+                                           dtype=jnp.float32) * 0.1)
+    w1 = jax.device_put(jax.random.normal(key, (3, 3, 1, 64)) * 0.2)
+    w2 = jax.device_put(jax.random.normal(key, (4, 4, 64, 64)) * 0.05)
+    w3 = jax.device_put(jax.random.normal(key, (3, 3, 64, 128)) * 0.05)
+
+    def xla_conv(x, w, stride, padding):
+        return jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), stride, padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def in_lrelu(x, slope=0.2):
+        m = jnp.mean(x, axis=(1, 2), keepdims=True)
+        v = jnp.var(x, axis=(1, 2), keepdims=True)
+        x = (x - m) * jax.lax.rsqrt(v + NORM_EPS)
+        return jnp.where(x > 0, x, slope * x)
+
+    def layer(conv, x, w, stride, padding):
+        return in_lrelu(conv(x.astype(bf), w, stride, padding))
+
+    def stem(conv, ws, x):
+        x = layer(conv, x, ws[0], (1, 1), [(1, 1), (1, 1)])
+        x = layer(conv, x, ws[1], (2, 2), [(1, 1), (1, 1)])
+        return layer(conv, x, ws[2], (1, 1), [(1, 1), (1, 1)])
+
+    def fwd_bwd(f, ws, x):
+        def loss(ws):
+            return jnp.sum(f(ws, x).astype(jnp.float32))
+
+        g = jax.grad(loss)(ws)
+        return g
+
+    cases = [
+        ("conv2 k4s2 64->64   xla ", x64,
+         lambda x: fwd_bwd(lambda ws, a: layer(xla_conv, a, ws[0], (2, 2),
+                                               [(1, 1), (1, 1)]), (w2,), x)),
+        ("conv2 k4s2 64->64   mm  ", x64,
+         lambda x: fwd_bwd(lambda ws, a: layer(conv_as_patches_matmul, a,
+                                               ws[0], (2, 2),
+                                               [(1, 1), (1, 1)]), (w2,), x)),
+        ("conv3 k3   64->128  xla ", x64,
+         lambda x: fwd_bwd(lambda ws, a: layer(xla_conv, a, ws[0], (1, 1),
+                                               [(1, 1), (1, 1)]), (w3,), x)),
+        ("conv3 k3   64->128  mm  ", x64,
+         lambda x: fwd_bwd(lambda ws, a: layer(conv_as_patches_matmul, a,
+                                               ws[0], (1, 1),
+                                               [(1, 1), (1, 1)]), (w3,), x)),
+        ("stem 3-layer chain  xla ", mel,
+         lambda x: fwd_bwd(lambda ws, a: stem(xla_conv, ws, a),
+                           (w1, w2, w3), x)),
+        ("stem 3-layer chain  mm  ", mel,
+         lambda x: fwd_bwd(lambda ws, a: stem(conv_as_patches_matmul, ws, a),
+                           (w1, w2, w3), x)),
+        ("stem 3-layer mixed 1x,2m,3m", mel,
+         lambda x: fwd_bwd(
+             lambda ws, a: layer(
+                 conv_as_patches_matmul,
+                 layer(conv_as_patches_matmul,
+                       layer(xla_conv, a, ws[0], (1, 1), [(1, 1), (1, 1)]),
+                       ws[1], (2, 2), [(1, 1), (1, 1)]),
+                 ws[2], (1, 1), [(1, 1), (1, 1)]),
+             (w1, w2, w3), x)),
+    ]
+    print(f"\n== stem conv fwd+bwd, batch {batch}, width {width}, bf16 ==")
+    for name, x, f in cases:
+        try:
+            jf = jax.jit(f)
+            ms = _slope_time(jf, (x,)) * 1e3
+            print(f"  {name:<30} {ms:8.3f} ms")
+        except Exception as e:
+            print(f"  {name:<30} FAILED: {type(e).__name__}: {e}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128,
@@ -422,6 +529,9 @@ def main():
                     help="channel count for --shift-probe (64 = stem layers 1-2)")
     ap.add_argument("--conv1-probe", action="store_true",
                     help="fused conv1+IN1 kernel vs the XLA segment")
+    ap.add_argument("--conv-bwd-probe", action="store_true",
+                    help="stem fwd+bwd: XLA convs vs patches-matmul "
+                         "formulation (matmul gradients)")
     args = ap.parse_args()
 
     import bench
@@ -432,6 +542,9 @@ def main():
         return
     if args.conv1_probe:
         profile_conv1(args.batch)
+        return
+    if args.conv_bwd_probe:
+        profile_conv_bwd(args.batch)
         return
     if args.train_floor:
         profile_train_phases(args.train_batch)

@@ -112,3 +112,34 @@ def test_bench_e2e_run_stage_retries_with_resume(tmp_path):
         run_stage("dead", [sys.executable, "-c", "raise SystemExit(3)"],
                   results, timeout=5.0, retries=1)
     assert results[-1]["ok"] is False and results[-1]["attempts"] == 2
+
+
+def test_conv_as_patches_matmul_matches_conv():
+    """Pin the patches-matmul conv formulation (bench_profile.py conv-bwd
+    probe) against lax conv: values AND weight-gradients, both stem geometries
+    (k4 s2 and k3 s1), fp32."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from bench_profile import conv_as_patches_matmul
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 16, 20, 5))
+    for kshape, stride in (((4, 4, 5, 7), (2, 2)), ((3, 3, 5, 7), (1, 1))):
+        w = jax.random.normal(jax.random.PRNGKey(1), kshape) * 0.2
+
+        def conv_ref(w):
+            return jax.lax.conv_general_dilated(
+                x, w, stride, [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        def conv_mm(w):
+            return conv_as_patches_matmul(x, w, stride, [(1, 1), (1, 1)])
+
+        np.testing.assert_allclose(conv_mm(w), conv_ref(w), atol=2e-4)
+        g_ref = jax.grad(lambda w: jnp.sum(conv_ref(w) ** 2))(w)
+        g_mm = jax.grad(lambda w: jnp.sum(conv_mm(w) ** 2))(w)
+        np.testing.assert_allclose(g_mm, g_ref, rtol=2e-4, atol=2e-3)
