@@ -193,13 +193,16 @@ def bench_train_step(batch: int = 32, iters: int = 10, warmup: int = 2,
         return (n2 - n1) / (t2 - t1), step_flops
 
 
-def _emit(frames_per_sec: float):
-    print(json.dumps({
+def _emit(frames_per_sec: float, error: str | None = None):
+    line = {
         "metric": "pose_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 1),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_sec / 1000.0, 3),
-    }), flush=True)
+    }
+    if error:
+        line["error"] = error
+    print(json.dumps(line), flush=True)
 
 
 def main():
@@ -209,19 +212,14 @@ def main():
     if not _wait_for_device():
         # an honest failure line beats a silent hang: the driver records
         # SOMETHING, and the zero is unmistakably an outage, not a regression
-        print(json.dumps({"metric": "pose_frames_per_sec_per_chip",
-                          "value": 0, "unit": "frames/s", "vs_baseline": 0,
-                          "error": "device unreachable for 30 min"}),
-              flush=True)
+        _emit(0, error="device unreachable for 30 min")
         sys.exit(1)
 
     # if the tunnel dies MID-bench, fail loudly rather than hang forever
     def no_primary():
         print("[bench] primary inference bench wedged; device lost mid-run?",
               file=sys.stderr, flush=True)
-        print(json.dumps({"metric": "pose_frames_per_sec_per_chip",
-                          "value": 0, "unit": "frames/s", "vs_baseline": 0,
-                          "error": "device lost mid-bench"}), flush=True)
+        _emit(0, error="device lost mid-bench")
         os._exit(1)
 
     primary_watchdog = threading.Timer(2400.0, no_primary)

@@ -116,10 +116,13 @@ def main():
     ap.add_argument("--stage_timeout", type=float, default=5400,
                     help="seconds before a hung training stage is killed and "
                          "retried with TRAIN.AUTO_RESUME (0 = no timeout)")
+    ap.add_argument("--light_timeout", type=float, default=1800,
+                    help="same, for the non-training stages (test/demo/"
+                         "export/serve; 0 = no timeout)")
     args = ap.parse_args()
     t_train = dict(timeout=args.stage_timeout or None, retries=2,
                    resume_extra=["TRAIN.AUTO_RESUME", "True"])
-    t_light = dict(timeout=min(args.stage_timeout or 1800, 1800), retries=1)
+    t_light = dict(timeout=args.light_timeout or None, retries=1)
 
     data_root = os.path.join(args.root, "speakers")
     demo_wav = os.path.join(args.root, "demo_audio.wav")

@@ -293,6 +293,19 @@ class Trainer:
         raise NotImplementedError(
             f"{type(self).__name__} has no PyTorch checkpoint importer")
 
+    def _load_model_weights(self, path: str) -> None:
+        """Model-weights-only load (no optimizer state), format-dispatched:
+        a reference ``.pth`` goes through the per-pipeline importer, anything
+        else is an orbax tree.  Shared by --pretrain_from and the eval/demo
+        --checkpoint branch."""
+        if self._is_torch_pth(path):
+            self.setup_model(self.cfg)
+            self.load_torch_pth(path)
+        else:
+            tree = self.load_checkpoint_tree(path)
+            self.setup_model(self.cfg)
+            self.load_state(tree["state"], load_optimizers=False)
+
     # -- experiment lifecycle ------------------------------------------------------
     def setup_experiment(self, is_training: bool, exp_tag: str,
                          resume_from: Optional[str] = None,
@@ -364,16 +377,9 @@ class Trainer:
                     assert os.path.exists(pretrain_from), f"not found: {pretrain_from}"
                     if self.is_master_process():
                         print("Loading from pretrained model: %s" % pretrain_from)
-                    if self._is_torch_pth(pretrain_from):
-                        # reference-format .pth: model weights only, exactly
-                        # the reference's --pretrain_from semantics
-                        # (reference trainer.py:198-200)
-                        self.setup_model(self.cfg)
-                        self.load_torch_pth(pretrain_from)
-                    else:
-                        tree = self.load_checkpoint_tree(pretrain_from)
-                        self.setup_model(self.cfg)
-                        self.load_state(tree["state"], load_optimizers=False)
+                    # model weights only, exactly the reference's
+                    # --pretrain_from semantics (reference trainer.py:198-200)
+                    self._load_model_weights(pretrain_from)
                 else:
                     self.setup_model(self.cfg)
                 self.setup_optimizer()
@@ -390,16 +396,10 @@ class Trainer:
 
             if checkpoint is not None:
                 print("Loading from checkpoint: %s" % checkpoint)
-                if self._is_torch_pth(checkpoint):
-                    # a trained reference checkpoint evaluates / demos / exports
-                    # directly (reference trainer.py:215-221 is .pth-only; here
-                    # both formats work)
-                    self.setup_model(self.cfg)
-                    self.load_torch_pth(checkpoint)
-                else:
-                    tree = self.load_checkpoint_tree(checkpoint)
-                    self.setup_model(self.cfg)
-                    self.load_state(tree["state"], load_optimizers=False)
+                # a trained reference checkpoint evaluates / demos directly
+                # (reference trainer.py:215-221 is .pth-only; here both
+                # formats work)
+                self._load_model_weights(checkpoint)
             else:
                 raise Exception("Checkpoint file is not provided.")
             return base_path

@@ -175,9 +175,12 @@ class Voice2Pose(Trainer):
             # the 'clip_code_mu' buffer, reference voice2pose.py:40-57)
             from ..utils.torch_import import load_torch_state_dict
 
-            return np.asarray(load_torch_state_dict(path)["clip_code_mu"])
-        tree = self.load_checkpoint_tree(path)
-        return np.asarray(tree["state"]["clip_code_mu"])
+            bank = np.asarray(load_torch_state_dict(path)["clip_code_mu"])
+        else:
+            tree = self.load_checkpoint_tree(path)
+            bank = np.asarray(tree["state"]["clip_code_mu"])
+        self._check_bank_rows(bank)
+        return bank
 
     def _load_pose_encoder(self, path: str) -> None:
         """Frozen FGD encoder weights from a Pose2Pose (AE) checkpoint — the AE's
@@ -193,8 +196,17 @@ class Voice2Pose(Trainer):
             sd = load_torch_state_dict(path)
             params = _to_mutable(self.state["params_pe"])
             bs = _to_mutable(self.state.get("batch_stats_pe", {}))
-            import_module_params(sd, "ae.encoder.", params, bs,
-                                 translate_pose_encoder)
+            filled = import_module_params(sd, "ae.encoder.", params, bs,
+                                          translate_pose_encoder)
+            # every frozen-encoder leaf must come from the checkpoint — a
+            # partial fill would leave random-init weights silently computing
+            # meaningless FGD/FTD metrics
+            n_leaves = (len(jax.tree.leaves(params)) + len(jax.tree.leaves(bs)))
+            if filled != n_leaves:
+                raise ValueError(
+                    f"AE checkpoint {path!r} filled {filled} of {n_leaves} "
+                    "frozen-encoder tensors; its encoder architecture does "
+                    "not match VOICE2POSE.POSE_ENCODER")
             self.state["params_pe"], self.state["batch_stats_pe"] = params, bs
             return
         tree = self.load_checkpoint_tree(path)
@@ -242,10 +254,28 @@ class Voice2Pose(Trainer):
     def state_to_save(self):
         return self.state
 
+    def _check_bank_rows(self, bank) -> None:
+        """Loaded template banks must have one code per train clip.  torch's
+        strict ``load_state_dict`` raises on this mismatch (reference
+        trainer.py:183); without the check the train step's
+        ``clips_code[clip_index]`` gather clamps out-of-range indices
+        SILENTLY under jit and training is corrupted, not crashed."""
+        n = getattr(self, "num_train_samples", None)
+        rows = int(np.shape(bank)[0])
+        if n is not None and rows != n:
+            raise ValueError(
+                f"clip-code bank has {rows} rows but the train split has {n} "
+                "clips; template codes are per-clip, so a checkpoint can only "
+                "continue on the dataset it was trained on (the reference's "
+                "strict load_state_dict enforces the same size)")
+
     def load_torch_pth(self, path: str) -> None:
         from ..utils.torch_import import import_voice2pose
 
-        self.state = replicate(self.mesh, import_voice2pose(path, self.state))
+        new_state = import_voice2pose(path, self.state)
+        if "clips_code" in new_state:
+            self._check_bank_rows(new_state["clips_code"])
+        self.state = replicate(self.mesh, new_state)
 
     def load_state(self, tree, load_optimizers: bool):
         from .trainer import restructure_like
@@ -253,6 +283,8 @@ class Voice2Pose(Trainer):
         for k, v in tree.items():
             if not load_optimizers and (k.startswith("opt_") or k == "step"):
                 continue
+            if k == "clips_code":
+                self._check_bank_rows(v)
             if k == "params_pe" and self.cfg.VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT:
                 continue  # freshly loaded frozen encoder wins
             if not self.cfg.VOICE2POSE.STRICT_LOADING and k not in self.state:

@@ -98,12 +98,22 @@ def export_serving_fn(cfg, checkpoint: str, out_path: str,
     pipe = pipeline if pipeline is not None else get_pipeline(cfg.PIPELINE_TYPE)(cfg)
     # no dataset at export time: the clip-code bank's size comes from the
     # checkpoint itself (it only shapes the bank; serving passes codes in)
-    tree = pipe.load_checkpoint_tree(checkpoint)
-    state = tree["state"]
-    pipe.num_train_samples = (int(np.shape(state["clips_code"])[0])
-                              if "clips_code" in state else 1)
-    pipe.setup_model(cfg)
-    pipe.load_state(state, load_optimizers=False)
+    if pipe._is_torch_pth(checkpoint):
+        # a reference-published .pth exports to a serving artifact directly
+        from .torch_import import load_torch_state_dict
+
+        sd = load_torch_state_dict(checkpoint)
+        pipe.num_train_samples = (int(np.shape(sd["clips_code"])[0])
+                                  if "clips_code" in sd else 1)
+        pipe.setup_model(cfg)
+        pipe.load_torch_pth(checkpoint)
+    else:
+        tree = pipe.load_checkpoint_tree(checkpoint)
+        state = tree["state"]
+        pipe.num_train_samples = (int(np.shape(state["clips_code"])[0])
+                                  if "clips_code" in state else 1)
+        pipe.setup_model(cfg)
+        pipe.load_state(state, load_optimizers=False)
 
     audio_length = audio_length or cfg.DATASET.AUDIO_LENGTH
     fn, has_code = build_serving_fn(

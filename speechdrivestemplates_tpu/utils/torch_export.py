@@ -228,6 +228,10 @@ def export_checkpoint(cfg, checkpoint: str, out_path: str) -> Dict[str, Any]:
     Returns ``{epoch, step, num_keys}``."""
     from ..pipelines.trainer import Trainer
 
+    if Trainer._is_torch_pth(checkpoint):
+        raise ValueError(
+            f"{checkpoint!r} is already a PyTorch checkpoint; --export_torch "
+            "converts our orbax checkpoints to that format")
     tree = Trainer.load_checkpoint_tree(checkpoint)
     state = tree["state"]
     if cfg.PIPELINE_TYPE == "Voice2Pose":

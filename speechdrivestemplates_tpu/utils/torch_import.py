@@ -118,6 +118,7 @@ def import_module_params(sd: Dict[str, np.ndarray], torch_prefix: str,
     import jax.numpy as jnp
 
     filled = 0
+    unmatched = []
     for key, value in sd.items():
         if not key.startswith(torch_prefix):
             continue
@@ -129,6 +130,7 @@ def import_module_params(sd: Dict[str, np.ndarray], torch_prefix: str,
         if parent_key.endswith(".conv"):
             path = translate(parent_key[: -len(".conv")])
             if path is None:
+                unmatched.append(key)
                 continue
             node = _get_node(params, path + ("conv",))
             assert leaf == "weight"
@@ -137,6 +139,7 @@ def import_module_params(sd: Dict[str, np.ndarray], torch_prefix: str,
         elif parent_key.endswith(".norm"):
             path = translate(parent_key[: -len(".norm")])
             if path is None:
+                unmatched.append(key)
                 continue
             if leaf in ("weight", "bias"):
                 node = _get_node(params, path + ("norm",), create=True)
@@ -149,6 +152,7 @@ def import_module_params(sd: Dict[str, np.ndarray], torch_prefix: str,
             # plain final convs (no .conv. wrapper): decoder.4 / seq.3 / blocks.4
             path = translate(parent_key)
             if path is None:
+                unmatched.append(key)
                 continue
             node = _get_node(params, path)
             if leaf == "weight":
@@ -157,6 +161,14 @@ def import_module_params(sd: Dict[str, np.ndarray], torch_prefix: str,
                 node["bias"] = jnp.array(value)
             filled += 1
     assert filled > 0, f"no entries imported for prefix {torch_prefix!r}"
+    if unmatched:
+        # a silently skipped tensor would leave RANDOM-INIT weights in the
+        # imported model (e.g. a half-filled frozen FGD encoder computing
+        # meaningless metrics) — refuse instead
+        raise ValueError(
+            f"{len(unmatched)} checkpoint tensors under {torch_prefix!r} have "
+            f"no translation onto this architecture: {unmatched[:6]}; the "
+            "checkpoint's layer layout does not match the configured model")
     return filled
 
 

@@ -81,6 +81,7 @@ def test_fgd_sanity(rng):
     assert far > 100  # ~16 * 9
 
 
+@pytest.mark.slow
 def test_bench_e2e_run_stage_retries_with_resume(tmp_path):
     """A hung stage is killed at the per-stage timeout and retried with the
     resume overrides appended (the AUTO_RESUME restart story for a wedged
