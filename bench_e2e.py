@@ -18,6 +18,7 @@ user types -- timed wall-clock.  Emits one JSON line per stage and a summary.
 
 Usage:  python bench_e2e.py [--root DIR] [--train 1024] [--dev 131]
                             [--epochs 100] [--batch 32] [--stages 1234567]
+                            [--stage_timeout 5400] [--light_timeout 1800]
 """
 
 from __future__ import annotations

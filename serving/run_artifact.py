@@ -7,7 +7,7 @@ and the stdlib — to demonstrate that a serving host needs just the artifact
 export is lowered for both).
 
     python serving/run_artifact.py sdt_bp.stablehlo input.wav out.npz \
-        [--code-seed 0]
+        [--code-seed 0] [--platform cpu]
 
 The artifact's shapes are static: audio shorter than the exported length is
 zero-padded, longer audio is cropped (export a longer serving point, or use
@@ -57,9 +57,17 @@ def main():
     ap.add_argument("out", help="output npz (poses in pixel space)")
     ap.add_argument("--code-seed", type=int, default=0,
                     help="seed for the N(0,1) template code (code models only)")
+    ap.add_argument("--platform", default=None,
+                    help="pin the jax backend (e.g. 'cpu', 'tpu'); the "
+                         "artifact must have been lowered for it. Without "
+                         "this, jax picks — and a wedged remote accelerator "
+                         "can block device enumeration indefinitely")
     args = ap.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     import numpy as np
 

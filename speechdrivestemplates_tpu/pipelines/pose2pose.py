@@ -79,10 +79,27 @@ class Pose2Pose(Trainer):
     def state_to_save(self):
         return self.state
 
+    def _check_bank_rows(self, bank) -> None:
+        """Code banks are scattered at ``clip_index`` every train step
+        (update_code_bank); jit DROPS out-of-range scatter indices silently,
+        so a bank smaller than the train split corrupts without an error —
+        torch's strict load_state_dict raises instead (reference
+        trainer.py:183)."""
+        n = getattr(self, "num_train_samples", None)
+        rows = int(np.shape(bank)[0])
+        if n is not None and rows != n:
+            raise ValueError(
+                f"clip-code bank has {rows} rows but the train split has {n} "
+                "clips; a checkpoint can only continue on the dataset it was "
+                "trained on")
+
     def load_torch_pth(self, path: str) -> None:
         from ..utils.torch_import import import_pose2pose
 
-        self.state = replicate(self.mesh, import_pose2pose(path, self.state))
+        new_state = import_pose2pose(path, self.state)
+        if "clip_code_mu" in new_state:
+            self._check_bank_rows(new_state["clip_code_mu"])
+        self.state = replicate(self.mesh, new_state)
 
     def load_state(self, tree, load_optimizers: bool):
         from .trainer import restructure_like
@@ -90,6 +107,8 @@ class Pose2Pose(Trainer):
         for k, v in tree.items():
             if not load_optimizers and (k.startswith("opt") or k == "step"):
                 continue
+            if k == "clip_code_mu":
+                self._check_bank_rows(v)
             if k.startswith("opt") and k in self.state:
                 self.state[k] = restructure_like(self.state[k], v)
             else:

@@ -145,11 +145,15 @@ def test_standalone_serving_runner(rng, tmp_path):
         wav = make_demo_wav(str(tmp_path / "in.wav"))
         out = str(tmp_path / "out.npz")
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        # pin the runner to CPU: without it the subprocess inherits the axon
+        # env and hangs forever on device enumeration when the TPU tunnel is
+        # wedged (observed in production) — also exercises --platform
+        env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
         r = subprocess.run(
             [sys.executable, os.path.join(repo, "serving", "run_artifact.py"),
-             art, wav, out],
-            capture_output=True, text=True, timeout=1800)  # CPU compile of the
-        # deserialized artifact takes minutes under full-suite host contention
+             art, wav, out, "--platform", "cpu"],
+            capture_output=True, text=True, timeout=1800, env=env)  # CPU
+        # compile of the artifact takes minutes under full-suite contention
         assert r.returncode == 0, r.stderr[-2000:]
         d = np.load(out)
         assert d["poses"].shape == (cfg.DATASET.NUM_FRAMES, 2,
