@@ -35,22 +35,32 @@ def _enable_compile_cache():
         pass
 
 
-def _wait_for_device(max_wait_s: float = 1800, probe_timeout: float = 120) -> bool:
+def _wait_for_device(max_wait_s: float = 420, probe_timeout: float = 90) -> bool:
     """The chip is reached through a remote tunnel that has been observed to
     wedge for tens of minutes (a production run once blocked forever on a
     device fence).  Probe enumeration in a SUBPROCESS — a hang there cannot
     wedge this process — and wait for recovery, so a transient outage delays
-    the bench instead of silently hanging it."""
+    the bench instead of silently hanging it.
+
+    The wait budget is deliberately SHORT (7 min): round 3's 30-min budget
+    outlived the driver's own process timeout, so the honest zero-value JSON
+    line never printed and the round artifact was an opaque rc=124.  The
+    budget must expire — and the error line must be on stdout — strictly
+    inside the driver window."""
     import subprocess
 
     deadline = time.time() + max_wait_s
     attempt = 0
     while True:
         attempt += 1
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            return False
         try:
             r = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=probe_timeout, capture_output=True)
+                timeout=min(probe_timeout, max(5.0, remaining)),
+                capture_output=True)
             if r.returncode == 0:
                 return True
         except subprocess.TimeoutExpired:
@@ -59,7 +69,7 @@ def _wait_for_device(max_wait_s: float = 1800, probe_timeout: float = 120) -> bo
             return False
         print(f"[bench] device unreachable (probe {attempt}); retrying",
               file=sys.stderr, flush=True)
-        time.sleep(30)
+        time.sleep(15)
 
 
 def bench_inference(batch: int = 128, iters: int = 40, warmup: int = 5):
@@ -209,10 +219,16 @@ def main():
     _enable_compile_cache()
     import threading
 
+    # Global budget: the whole process must exit (0, with whatever JSON is
+    # already on stdout) strictly inside the driver's own window — round 3
+    # died as an opaque rc=124 because its internal budgets summed past it.
+    t0 = time.time()
+    total_budget_s = 2100.0  # 35 min
+
     if not _wait_for_device():
         # an honest failure line beats a silent hang: the driver records
         # SOMETHING, and the zero is unmistakably an outage, not a regression
-        _emit(0, error="device unreachable for 30 min")
+        _emit(0, error="device unreachable for 7 min")
         sys.exit(1)
 
     # if the tunnel dies MID-bench, fail loudly rather than hang forever
@@ -222,23 +238,27 @@ def main():
         _emit(0, error="device lost mid-bench")
         os._exit(1)
 
-    primary_watchdog = threading.Timer(2400.0, no_primary)
+    primary_budget = min(1200.0, max(60.0, total_budget_s - (time.time() - t0) - 60.0))
+    primary_watchdog = threading.Timer(primary_budget, no_primary)
     primary_watchdog.daemon = True
     primary_watchdog.start()
     frames_per_sec, step_time = bench_inference()
     primary_watchdog.cancel()
     print(f"[bench] inference: {frames_per_sec:.1f} pose-frames/s/chip "
           f"({step_time*1e3:.2f} ms / batch-128 fwd)", file=sys.stderr, flush=True)
+    # Emit the primary metric NOW — a wedge in the auxiliary train benches
+    # below can then never swallow the round's JSON artifact.
+    _emit(frames_per_sec)
 
-    # The primary metric is secured; guard the auxiliary train-step bench with a
-    # watchdog so a wedged remote compile can never swallow the JSON line.
+    # Guard the auxiliary train-step benches with a watchdog so a wedged
+    # remote compile exits cleanly (the primary line is already on stdout).
     def bail():
-        print("[bench] train-step bench timed out; emitting primary metric",
-              file=sys.stderr, flush=True)
-        _emit(frames_per_sec)
+        print("[bench] train-step bench timed out; primary metric already "
+              "emitted", file=sys.stderr, flush=True)
         os._exit(0)
 
-    watchdog = threading.Timer(1500.0, bail)
+    aux_budget = max(30.0, total_budget_s - (time.time() - t0))
+    watchdog = threading.Timer(aux_budget, bail)
     watchdog.daemon = True
     watchdog.start()
     peak = 197e12  # v5e bf16 peak TFLOP/s per chip (fp32 via bf16x3 is ~1/3)
@@ -264,8 +284,6 @@ def main():
             print(f"[bench] {label} train bench failed: {e}", file=sys.stderr,
                   flush=True)
     watchdog.cancel()
-
-    _emit(frames_per_sec)
 
 
 if __name__ == "__main__":

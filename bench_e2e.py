@@ -144,6 +144,10 @@ def main():
 
     common = ["DATASET.ROOT_DIR", data_root, "DATASET.SPEAKER", "oliver",
               "DATASET.CACHING", "True",
+              # outage hardening: a killed/retried training stage continues
+              # from its newest checkpoint instead of restarting (no-op on a
+              # fresh output dir)
+              "TRAIN.AUTO_RESUME", "True",
               "TRAIN.NUM_EPOCHS", str(args.epochs),
               "TRAIN.BATCH_SIZE", str(args.batch),
               "TEST.BATCH_SIZE", str(args.batch),

@@ -15,6 +15,7 @@ Prints a per-component table for the serving forward and the train step.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -135,6 +136,10 @@ def profile_train_phases(batch: int):
         cfg.TRAIN.BATCH_SIZE = batch
         cfg.TRAIN.VALIDATE = False
         cfg.TRAIN.SAVE_VIDEO = False
+        if os.environ.get("SDT_CONV_MM_GRAD") == "1":
+            # A/B the patches-matmul conv formulation (SYS.CONV_MM_GRAD)
+            cfg.SYS.CONV_MM_GRAD = True
+            print("  [CONV_MM_GRAD=1: patches-matmul stem convs]")
         cfg.freeze()
         pipe = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
         pipe.setup_dataset(cfg, "train")
@@ -223,6 +228,10 @@ def profile_train(batch: int):
         cfg.TRAIN.BATCH_SIZE = batch
         cfg.TRAIN.VALIDATE = False
         cfg.TRAIN.SAVE_VIDEO = False
+        if os.environ.get("SDT_CONV_MM_GRAD") == "1":
+            # A/B the patches-matmul conv formulation (SYS.CONV_MM_GRAD)
+            cfg.SYS.CONV_MM_GRAD = True
+            print("  [CONV_MM_GRAD=1: patches-matmul stem convs]")
         cfg.freeze()
         pipe = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
         pipe.setup_dataset(cfg, "train")
@@ -354,14 +363,14 @@ def profile_shift_probe(n_planes: int = 128, C: int = 128):
 
 
 def profile_conv1(batch: int = 128, width: int = 427):
-    """Fused conv1+IN1 kernel (ops/conv1_pallas.py) vs the XLA lowering of
+    """Fused conv1+IN1 kernel (probes/conv1_pallas.py) vs the XLA lowering of
     the same segment, and the downstream layer-1 conv on both layouts (the
     kernel's padded output must not slow the consumer)."""
     import jax
     import jax.numpy as jnp
 
     from speechdrivestemplates_tpu.models.blocks import NORM_EPS
-    from speechdrivestemplates_tpu.ops.conv1_pallas import fused_conv1_in
+    from probes.conv1_pallas import fused_conv1_in
 
     key = jax.random.PRNGKey(0)
     mel = jax.device_put(jax.random.normal(key, (batch, 80, width)) * 0.1)

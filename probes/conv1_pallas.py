@@ -70,7 +70,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models.blocks import NORM_EPS  # shared with the XLA path it mirrors
+from speechdrivestemplates_tpu.models.blocks import NORM_EPS  # mirrors the XLA path
 
 H1 = 80                  # mel bins (fixed by the model family)
 ROWS = H1 + 2            # h-padded rows: 0 and 81 stay zero

@@ -328,6 +328,13 @@ def _build_defaults() -> CfgNode:
     # silence-padded audio, trimmed; unlike WINDOWED there is no crossfade
     # approximation. Takes precedence over WINDOWED when both are set.
     _C.DEMO.SEQUENCE_PARALLEL = False
+    # Dense-path length bucketing: pad demo audio up to a multiple of this many
+    # SECONDS of frames before compiling, and trim the trailing pad frames from
+    # the outputs.  A directory of N distinct clip lengths then compiles
+    # ceil(max_len / bucket) executables instead of N (XLA specializes on
+    # static shapes; the reference's torch forward is shape-polymorphic,
+    # reference generator.py:41, gesture_dataset.py:61-69).  0 disables.
+    _C.DEMO.LENGTH_BUCKET_S = 2.0
 
     _C.SYS = CfgNode()
     _C.SYS.OUTPUT_DIR = "output/"
@@ -354,6 +361,12 @@ def _build_defaults() -> CfgNode:
     # Hardware-validated but measured SLOWER than XLA's conv lowering at the
     # batch-128 serving point (see the module docstring) — default off.
     _C.SYS.FUSED_STEM = False
+    # Patches-matmul formulation for the generator's 2D stem convs (>1 input
+    # channel): forward-identical params, but autodiff yields matmul gradients
+    # instead of XLA's conv-backward kernels — the measured batch-128 train
+    # gap sits in conv-grad HBM bandwidth (docs/PERF.md train speed-of-light).
+    # Enable only if bench_profile.py --conv-bwd-probe wins on the chip.
+    _C.SYS.CONV_MM_GRAD = False
     _C.SYS.PROFILE = CfgNode()
     _C.SYS.PROFILE.ENABLED = False
     _C.SYS.PROFILE.START_STEP = 10   # global step to start the jax.profiler trace

@@ -47,6 +47,7 @@ def build_model(name: str, cfg):
             norm=cfg.VOICE2POSE.GENERATOR.NORM,
             leaky=cfg.VOICE2POSE.GENERATOR.LEAKY_RELU,
             dtype=dtype,
+            conv_mm=cfg.SYS.CONV_MM_GRAD,
         )
     if cls is PoseSequenceDiscriminator:
         return cls(leaky=cfg.VOICE2POSE.POSE_DISCRIMINATOR.LEAKY_RELU, dtype=dtype)

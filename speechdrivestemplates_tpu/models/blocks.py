@@ -38,6 +38,29 @@ def _normalize_free(x: jnp.ndarray, axes: Sequence[int]) -> jnp.ndarray:
     return (x - mean) * jax.lax.rsqrt(var + NORM_EPS)
 
 
+def _normalize_free_masked(x: jnp.ndarray, axes: Sequence[int],
+                           t_valid, time_axis: int = -2) -> jnp.ndarray:
+    """:func:`_normalize_free` with statistics over only the valid time prefix.
+
+    ``x`` must already be zero beyond ``t_valid`` on ``time_axis``; the biased
+    mean/var then reduce to masked sums divided by the valid element count, so
+    the valid block matches an unbucketed (length == t_valid) normalization.
+    Uses the same two-pass (center, then square) form as ``jnp.var``.
+    """
+    axes = tuple(a % x.ndim for a in axes)
+    assert time_axis % x.ndim in axes
+    count = jnp.asarray(t_valid, jnp.float32)
+    for a in axes:
+        if a != time_axis % x.ndim:
+            count = count * x.shape[a]
+    mean = jnp.sum(x, axis=axes, keepdims=True) / count.astype(x.dtype)
+    from ..ops.resize import mask_time
+
+    xc = mask_time(x - mean, t_valid, axis=time_axis)
+    var = jnp.sum(xc * xc, axis=axes, keepdims=True) / count.astype(x.dtype)
+    return (x - mean) * jax.lax.rsqrt(var + NORM_EPS)
+
+
 class TorchBatchNorm(nn.Module):
     """BatchNorm with torch running-stat semantics.
 
@@ -86,11 +109,50 @@ class TorchBatchNorm(nn.Module):
         return y.astype(self.dtype or x.dtype)
 
 
+class PatchesConv(nn.Module):
+    """2D conv expressed as patch extraction + ONE ``dot_general``.
+
+    Forward-identical to ``nn.Conv`` (same ``{"kernel": (kh, kw, ci, co)}``
+    param tree, so checkpoints interop), but autodiff of a ``dot_general``
+    yields matmul gradients instead of XLA's conv-transpose / conv-filter-grad
+    kernels — the candidate fix for the measured batch-128 train gap
+    (docs/PERF.md "train speed-of-light": the 1.37x-floor residue sits in
+    conv-backward achieved bandwidth on the full-res stem planes).  Feature
+    order of ``conv_general_dilated_patches`` is (C_in major, kh, kw) —
+    pinned by tests/test_misc.py::test_conv_as_patches_matmul_matches_conv.
+    """
+
+    features: int
+    kernel_size: Any = None
+    strides: Any = None
+    padding: Any = None  # [(p, p), (p, p)]
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        ci = x.shape[-1]
+        kernel = self.param("kernel", kaiming_normal,
+                            (kh, kw, ci, self.features), jnp.float32)
+        dtype = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        x = x.astype(dtype)
+        p = jax.lax.conv_general_dilated_patches(
+            x, (kh, kw), tuple(self.strides), list(self.padding),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        w_mat = jnp.transpose(kernel, (2, 0, 1, 3)).reshape(
+            ci * kh * kw, self.features).astype(dtype)
+        return jax.lax.dot_general(
+            p, w_mat, (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype)
+
+
 class ConvNormRelu(nn.Module):
     """Conv -> Norm -> (Leaky)ReLU, 1D or 2D (reference building_blocks.py:4-55).
 
     kernel/stride/padding default to (3,1,1), or (4,2,1) when ``downsample``.
     ``padding`` follows torch symmetric-int semantics; pass 0 for VALID.
+    ``mm_grad`` swaps the 2D conv for :class:`PatchesConv` (matmul gradients;
+    same params) when the input has >1 channel — wired from SYS.CONV_MM_GRAD.
     """
 
     conv_type: str = "1d"
@@ -102,9 +164,18 @@ class ConvNormRelu(nn.Module):
     norm: str = "BN"
     leaky: bool = False
     dtype: Any = None  # compute dtype (None -> float32)
+    mm_grad: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 t_valid=None) -> jnp.ndarray:
+        """``t_valid`` (optional traced scalar): valid length of THIS LAYER'S
+        OUTPUT along the time axis (axis -2 in both layouts) — the caller
+        derives it with ops.resize.conv_time_out_valid.  When set, the input
+        is assumed zero beyond its own valid prefix; the output is normalized
+        over the valid region only and re-zeroed beyond it, making the valid
+        block bit-compatible with an unbucketed forward (demo length
+        bucketing).  Inference-only for 'BN' (running stats)."""
         ndim = 2 if self.conv_type == "2d" else 1
         if self.kernel_size is None:
             k, s, p = ((4, 2, 1) if self.downsample else (3, 1, 1))
@@ -115,18 +186,31 @@ class ConvNormRelu(nn.Module):
         p = (p,) * ndim if isinstance(p, int) else tuple(p)
         pad = [(pi, pi) for pi in p]
 
-        x = nn.Conv(
-            features=self.out_channels,
-            kernel_size=k,
-            strides=s,
-            padding=pad,
-            use_bias=False,
-            kernel_init=kaiming_normal,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if self.mm_grad and ndim == 2 and x.shape[-1] > 1:
+            # patches-matmul formulation (C_in=1 stays on nn.Conv: its K=9
+            # contraction would starve the MXU for no bandwidth win)
+            x = PatchesConv(features=self.out_channels, kernel_size=k,
+                            strides=s, padding=pad, dtype=self.dtype,
+                            name="conv")(x)
+        else:
+            x = nn.Conv(
+                features=self.out_channels,
+                kernel_size=k,
+                strides=s,
+                padding=pad,
+                use_bias=False,
+                kernel_init=kaiming_normal,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        if t_valid is not None:
+            from ..ops.resize import mask_time
+
+            x = mask_time(x, t_valid, axis=-2)
 
         if self.norm == "BN":
+            assert t_valid is None or not train, \
+                "valid-masked BN only supports eval (running stats)"
             x = TorchBatchNorm(
                 use_running_average=not train,
                 momentum=BN_MOMENTUM,
@@ -137,14 +221,22 @@ class ConvNormRelu(nn.Module):
         elif self.norm == "IN":
             if ndim == 2:
                 # InstanceNorm2d: normalize over (H, W) per sample & channel.
-                x = _normalize_free(x, axes=(-3, -2))
+                if t_valid is not None:
+                    x = _normalize_free_masked(x, axes=(-3, -2), t_valid=t_valid)
+                else:
+                    x = _normalize_free(x, axes=(-3, -2))
             else:
                 # Reference IN-1d permute quirk: normalize over channels per position.
                 x = _normalize_free(x, axes=(-1,))
         else:
             raise NotImplementedError(f"norm {self.norm!r}")
 
-        return nn.leaky_relu(x, 0.2) if self.leaky else nn.relu(x)
+        x = nn.leaky_relu(x, 0.2) if self.leaky else nn.relu(x)
+        if t_valid is not None:
+            from ..ops.resize import mask_time
+
+            x = mask_time(x, t_valid, axis=-2)
+        return x
 
 
 class FCNormRelu(nn.Module):

@@ -18,7 +18,9 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.resize import interpolate_bilinear, interpolate_linear_time
+from ..ops.resize import (conv_time_out_valid, interpolate_bilinear,
+                          interpolate_bilinear_valid, interpolate_linear_time,
+                          interpolate_linear_time_valid, mask_time)
 from .blocks import ConvNormRelu
 
 
@@ -35,13 +37,16 @@ class AudioEncoder(nn.Module):
     norm: str = "IN"
     leaky: bool = True
     dtype: Any = None
+    conv_mm: bool = False  # SYS.CONV_MM_GRAD: patches-matmul stem convs
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray, num_frames: int, train: bool = True,
-                 stem_weights=None) -> jnp.ndarray:
+                 stem_weights=None, t_mel_valid=None,
+                 num_frames_valid=None) -> jnp.ndarray:
         cnr = lambda i, ch, **kw: ConvNormRelu(  # noqa: E731
             conv_type="2d", out_channels=ch, norm=self.norm, leaky=self.leaky,
-            dtype=self.dtype, name=f"ConvNormRelu_{i}", **kw)
+            dtype=self.dtype, mm_grad=self.conv_mm,
+            name=f"ConvNormRelu_{i}", **kw)
         specs = [dict(ch=64), dict(ch=64, downsample=True),
                  dict(ch=128), dict(ch=128, downsample=True),
                  dict(ch=256), dict(ch=256, downsample=True),
@@ -49,6 +54,7 @@ class AudioEncoder(nn.Module):
         if stem_weights is not None:
             assert not train, "fused stem is an inference-only path"
             assert self.norm == "IN", "fused stem covers IN-normalized encoders"
+            assert t_mel_valid is None, "fused stem is a fixed-length path"
             from ..ops.stem_pallas import fused_audio_encoder_stem
 
             x = fused_audio_encoder_stem(
@@ -59,12 +65,26 @@ class AudioEncoder(nn.Module):
             # mel: (B, n_mels, T_mel) -> NHWC
             x = mel[..., None]
             start = 0
+        v = t_mel_valid
         for i in range(start, 8):
             kw = dict(specs[i])
             ch = kw.pop("ch")
-            x = cnr(i, ch, **kw)(x, train)
+            if v is not None:
+                # time components of this layer's (k, s, p); kernel tuples are
+                # (H=mel, W=time) — see specs above
+                if kw.get("downsample"):
+                    kt, st, pt = 4, 2, 1
+                elif "kernel_size" in kw:
+                    kt, st, pt = kw["kernel_size"][1], kw["stride"], kw["padding"]
+                else:
+                    kt, st, pt = 3, 1, 1
+                v = conv_time_out_valid(v, kt, st, pt)
+            x = cnr(i, ch, **kw)(x, train, t_valid=v)
         # (B, H', W', 256) -> bilinear to (1, num_frames) -> (B, num_frames, 256)
-        x = interpolate_bilinear(x, (1, num_frames))
+        if v is not None:
+            x = interpolate_bilinear_valid(x, (1, num_frames), v, num_frames_valid)
+        else:
+            x = interpolate_bilinear(x, (1, num_frames))
         return x[:, 0, :, :]
 
 
@@ -76,23 +96,36 @@ class UNet1D(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 t_valid=None) -> jnp.ndarray:
         cnr = lambda name, down=False: ConvNormRelu(  # noqa: E731
             conv_type="1d", out_channels=256, downsample=down, norm=self.norm,
             leaky=self.leaky, dtype=self.dtype, name=name)
-        e0 = cnr("e0")(x, train)
-        e1 = cnr("e1")(e0, train)
-        e2 = cnr("e2", down=True)(e1, train)
-        e3 = cnr("e3", down=True)(e2, train)
-        e4 = cnr("e4", down=True)(e3, train)
-        e5 = cnr("e5", down=True)(e4, train)
-        e6 = cnr("e6", down=True)(e5, train)
+        if t_valid is None:
+            vs = [None] * 7
+        else:
+            # valid length per level: downsample convs are k4 s2 p1
+            vs = [t_valid, t_valid]
+            for _ in range(5):
+                vs.append(conv_time_out_valid(vs[-1], 4, 2, 1))
+        e0 = cnr("e0")(x, train, t_valid=vs[0])
+        e1 = cnr("e1")(e0, train, t_valid=vs[1])
+        e2 = cnr("e2", down=True)(e1, train, t_valid=vs[2])
+        e3 = cnr("e3", down=True)(e2, train, t_valid=vs[3])
+        e4 = cnr("e4", down=True)(e3, train, t_valid=vs[4])
+        e5 = cnr("e5", down=True)(e4, train, t_valid=vs[5])
+        e6 = cnr("e6", down=True)(e5, train, t_valid=vs[6])
 
-        d5 = cnr("d5")(interpolate_linear_time(e6, e5.shape[-2]) + e5, train)
-        d4 = cnr("d4")(interpolate_linear_time(d5, e4.shape[-2]) + e4, train)
-        d3 = cnr("d3")(interpolate_linear_time(d4, e3.shape[-2]) + e3, train)
-        d2 = cnr("d2")(interpolate_linear_time(d3, e2.shape[-2]) + e2, train)
-        d1 = cnr("d1")(interpolate_linear_time(d2, e1.shape[-2]) + e1, train)
+        if t_valid is None:
+            up = lambda a, b, *_: interpolate_linear_time(a, b.shape[-2])  # noqa: E731
+        else:
+            up = lambda a, b, vi, vo: interpolate_linear_time_valid(  # noqa: E731
+                a, b.shape[-2], vi, vo)
+        d5 = cnr("d5")(up(e6, e5, vs[6], vs[5]) + e5, train, t_valid=vs[5])
+        d4 = cnr("d4")(up(d5, e4, vs[5], vs[4]) + e4, train, t_valid=vs[4])
+        d3 = cnr("d3")(up(d4, e3, vs[4], vs[3]) + e3, train, t_valid=vs[3])
+        d2 = cnr("d2")(up(d3, e2, vs[3], vs[2]) + e2, train, t_valid=vs[2])
+        d1 = cnr("d1")(up(d2, e1, vs[2], vs[1]) + e1, train, t_valid=vs[1])
         return d1
 
 
@@ -105,14 +138,26 @@ class SequenceGeneratorCNN(nn.Module):
     norm: str = "IN"
     leaky: bool = True
     dtype: Any = None
+    conv_mm: bool = False  # SYS.CONV_MM_GRAD: patches-matmul stem convs
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray, num_frames: int,
                  code: Optional[jnp.ndarray] = None, train: bool = True,
-                 stem_weights=None) -> jnp.ndarray:
+                 stem_weights=None, t_mel_valid=None,
+                 num_frames_valid=None) -> jnp.ndarray:
+        if t_mel_valid is not None:
+            # length-polymorphic eval: one bucket executable serves every clip
+            # length; mel columns beyond the clip's true frames are zeroed so
+            # the conv stack sees exactly the SAME-padding of an unbucketed
+            # compile (tests/test_demo_bucketing.py pins the equality)
+            assert num_frames_valid is not None and not train
+            mel = mask_time(mel, t_mel_valid, axis=-1)
         x = AudioEncoder(norm=self.norm, leaky=self.leaky, dtype=self.dtype,
+                         conv_mm=self.conv_mm,
                          name="audio_encoder")(mel, num_frames, train,
-                                               stem_weights=stem_weights)
+                                               stem_weights=stem_weights,
+                                               t_mel_valid=t_mel_valid,
+                                               num_frames_valid=num_frames_valid)
 
         if self.code_dim is not None:
             # code: (B, code_dim) broadcast over time, or (B, code_dim, T) frame-variant
@@ -123,13 +168,19 @@ class SequenceGeneratorCNN(nn.Module):
             else:
                 code_t = jnp.swapaxes(code, 1, 2)  # (B, T, code_dim)
             x = jnp.concatenate([x, code_t.astype(x.dtype)], axis=-1)
+            if num_frames_valid is not None:
+                # the code broadcast fills invalid positions too; re-zero them
+                # so the UNet's first conv sees SAME-pad zeros past the clip
+                x = mask_time(x, num_frames_valid, axis=-2)
 
-        x = UNet1D(norm=self.norm, leaky=self.leaky, dtype=self.dtype, name="unet")(x, train)
+        x = UNet1D(norm=self.norm, leaky=self.leaky, dtype=self.dtype,
+                   name="unet")(x, train, t_valid=num_frames_valid)
 
         for i in range(4):
             x = ConvNormRelu(conv_type="1d", out_channels=256, norm=self.norm,
                              leaky=self.leaky, dtype=self.dtype,
-                             name=f"decoder_{i}")(x, train)
+                             name=f"decoder_{i}")(x, train,
+                                                  t_valid=num_frames_valid)
         x = nn.Conv(self.num_landmarks * 2, kernel_size=(1,), use_bias=True,
                     dtype=self.dtype, name="decoder_out")(x)
 

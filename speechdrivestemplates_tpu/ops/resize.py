@@ -67,3 +67,64 @@ def interpolate_bilinear(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray
     Ww = jnp.asarray(_resize_matrix(x.shape[-2], out_hw[1]), dtype=x.dtype)
     x = jnp.einsum("oh,...hwc->...owc", Wh, x, precision=prec)
     return jnp.einsum("pw,...owc->...opc", Ww, x, precision=prec)
+
+
+# ---- length-polymorphic (valid-prefix) resizes -----------------------------------
+#
+# For demo length bucketing one executable serves every clip length in a bucket:
+# the time axes carry a TRACED valid length, and the interpolation grid is built
+# in-jit from that scalar.  The weight matrix keeps its static (out_len, in_len)
+# shape — same MXU matmul as the static path — with rows/cols beyond the valid
+# prefix zeroed, so the valid block is exactly the torch half-pixel grid of an
+# unbucketed (in_valid -> out_valid) resize and everything else stays masked.
+
+
+def _dynamic_resize_matrix(in_len: int, out_len: int, in_valid, out_valid,
+                           dtype) -> jnp.ndarray:
+    """(out_len, in_len) traced interpolation weights whose top-left
+    (out_valid, in_valid) block equals ``_resize_matrix(in_valid, out_valid)``
+    (up to fp32 grid arithmetic; the static path precomputes in fp64)."""
+    i = jnp.arange(out_len, dtype=jnp.float32)
+    j = jnp.arange(in_len, dtype=jnp.float32)
+    iv = jnp.asarray(in_valid, jnp.float32)
+    ov = jnp.asarray(out_valid, jnp.float32)
+    src = jnp.clip((i + 0.5) * (iv / ov) - 0.5, 0.0, iv - 1.0)
+    W = jnp.clip(1.0 - jnp.abs(src[:, None] - j[None, :]), 0.0, 1.0)
+    W = W * (i[:, None] < ov) * (j[None, :] < iv)
+    return W.astype(dtype)
+
+
+def interpolate_linear_time_valid(x: jnp.ndarray, out_len: int,
+                                  in_valid, out_valid) -> jnp.ndarray:
+    """Valid-prefix variant of :func:`interpolate_linear_time`: rows
+    [0, out_valid) equal a static (in_valid -> out_valid) resize of the valid
+    input prefix; rows beyond are zero."""
+    W = _dynamic_resize_matrix(x.shape[-2], out_len, in_valid, out_valid, x.dtype)
+    return jnp.einsum("ot,...tc->...oc", W, x, precision=_precision_for(x))
+
+
+def interpolate_bilinear_valid(x: jnp.ndarray, out_hw: tuple[int, int],
+                               in_w_valid, out_w_valid) -> jnp.ndarray:
+    """Valid-prefix variant of :func:`interpolate_bilinear`: the H axis is fully
+    valid (static grid); the W (time) axis uses the traced grid."""
+    prec = _precision_for(x)
+    Wh = jnp.asarray(_resize_matrix(x.shape[-3], out_hw[0]), dtype=x.dtype)
+    Ww = _dynamic_resize_matrix(x.shape[-2], out_hw[1], in_w_valid, out_w_valid,
+                                x.dtype)
+    x = jnp.einsum("oh,...hwc->...owc", Wh, x, precision=prec)
+    return jnp.einsum("pw,...owc->...opc", Ww, x, precision=prec)
+
+
+def mask_time(x: jnp.ndarray, t_valid, axis: int = -2) -> jnp.ndarray:
+    """Zero positions >= t_valid (traced scalar) along ``axis``."""
+    T = x.shape[axis]
+    shape = [1] * x.ndim
+    shape[axis] = T
+    keep = (jnp.arange(T) < t_valid).reshape(shape)
+    return x * keep.astype(x.dtype)
+
+
+def conv_time_out_valid(v, k: int, s: int, p: int):
+    """Output valid length of a stride-``s`` conv over a valid prefix of ``v``
+    (torch L_out formula on the valid region; positions beyond are masked)."""
+    return (v + 2 * p - k) // s + 1

@@ -297,7 +297,11 @@ class Voice2Pose(Trainer):
         self.state = replicate(self.mesh, self.state)
 
     # -- forward helpers (traced) ----------------------------------------------------
-    def _apply_generator(self, params, batch_stats, mel, num_frames, code, train):
+    def _apply_generator(self, params, batch_stats, mel, num_frames, code, train,
+                         valid_lens=None):
+        """``valid_lens``: optional traced ``(t_mel_valid, num_frames_valid)``
+        scalars for the length-polymorphic bucketed demo path (one executable
+        per length bucket; see _bucket_demo_batch)."""
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -305,10 +309,13 @@ class Voice2Pose(Trainer):
             out, updates = self.generator.apply(
                 variables, mel, num_frames, code, True, mutable=["batch_stats"])
             return out, updates["batch_stats"]
+        t_mel_valid, num_frames_valid = valid_lens or (None, None)
         return self.generator.apply(
             variables, mel, num_frames, code, train,
-            stem_weights=None if train else self._stem_weights(
-                params, mel.shape[-1])), batch_stats
+            stem_weights=(None if train or valid_lens is not None
+                          else self._stem_weights(params, mel.shape[-1])),
+            t_mel_valid=t_mel_valid,
+            num_frames_valid=num_frames_valid), batch_stats
 
     def _stem_weights(self, params_g, t_mel: int):
         """Conv kernels for the fused Pallas stem (inference only), or None when
@@ -579,7 +586,8 @@ class Voice2Pose(Trainer):
         mel_impl = self.cfg.SYS.MEL_IMPL
         valid_idx = None if valid is None else jnp.asarray(valid)
 
-        def step(state, batch, rng, interpolation_coeff, fixed_code=None):
+        def step(state, batch, rng, interpolation_coeff, fixed_code=None,
+                 valid_lens=None):
             if valid_idx is not None:
                 # ragged last batch, padded to the device multiple by
                 # pad_eval_batch: statically gather the true rows so every
@@ -593,7 +601,7 @@ class Voice2Pose(Trainer):
                                               interpolation_coeff))
             pred, _ = self._apply_generator(
                 state["params_g"], state["batch_stats_g"], mel, num_frames, code,
-                False)
+                False, valid_lens=valid_lens)
             results = {"poses_pred_batch": self._final_results(batch, pred),
                        "condition_code": code}
             losses = {}
@@ -631,12 +639,13 @@ class Voice2Pose(Trainer):
         return self._jit_cache[key]
 
     def _get_eval_step(self, num_frames: int, t_mel: int, valid=None,
-                       pad_sig=None):
+                       pad_sig=None, length_poly: bool = False):
         # t_mel is part of the cache key only: jit retraces per audio shape
         # anyway, but keying keeps one Python closure per compiled shape.
         # pad_sig identifies the ragged-batch pad geometry (one extra compile
-        # for the dataset's final ragged batch).
-        key = ("eval", num_frames, t_mel, pad_sig)
+        # for the dataset's final ragged batch).  length_poly marks the
+        # bucketed demo executable (traced valid lengths; _bucket_demo_batch).
+        key = ("eval", num_frames, t_mel, pad_sig, length_poly)
         if key not in self._jit_cache:
             self._jit_cache[key] = self._build_eval_step(num_frames, valid)
         return self._jit_cache[key]
@@ -751,22 +760,83 @@ class Voice2Pose(Trainer):
         """Single-forward demo (the reference's only path, trainer.py:459-484);
         compiled once per (num_frames, t_mel).  Demo batches are size 1, so on
         a >1-device data mesh the batch is tiled to the mesh width (every
-        device computes the same sample) and the results trimmed back."""
+        device computes the same sample) and the results trimmed back.
+
+        DEMO.LENGTH_BUCKET_S > 0 rounds the clip up to a length bucket, so a
+        directory of N distinct clip lengths compiles a handful of executables
+        instead of N.  The bucketed executable is LENGTH-POLYMORPHIC and exact:
+        the clip's true (t_mel, num_frames) ride along as traced scalars, mel
+        columns beyond them are masked, InstanceNorm statistics are computed
+        over the valid prefix only, and every time resize builds its torch
+        half-pixel grid in-jit from the traced lengths (ops/resize.py
+        _dynamic_resize_matrix — still one MXU matmul).  The trimmed output
+        equals an unbucketed compile to numerical precision
+        (tests/test_demo_bucketing.py pins it)."""
         B = int(np.asarray(batch["audio"]).shape[0])
+        orig_frames = num_frames
+        batch, num_frames, valid_lens = self._bucket_demo_batch(batch, num_frames)
         n = self.mesh.size
         if n > 1 and B % n:
             batch = self.multiply_batch(batch, n)
         t_mel = mel_frames_for_audio_length(batch["audio"].shape[-1])
-        step_fn = self._get_eval_step(num_frames, t_mel)
+        step_fn = self._get_eval_step(num_frames, t_mel,
+                                      length_poly=valid_lens is not None)
         db = self._device_batch(batch)
         coeff = (None if interpolation_coeff is None
                  else jnp.float32(interpolation_coeff))
-        _, results = step_fn(self.state, db, self._next_rng(), coeff)
+        if valid_lens is None:
+            _, results = step_fn(self.state, db, self._next_rng(), coeff)
+        else:
+            _, results = step_fn(self.state, db, self._next_rng(), coeff,
+                                 None, valid_lens)
         if n > 1 and B % n:
             results = {k: (np.asarray(v)[:B] if v is not None
                            and np.ndim(v) >= 1 else v)
                        for k, v in results.items()}
+        if num_frames != orig_frames:
+            results = {k: (np.asarray(v)[:, :orig_frames]
+                           if k in ("poses_pred_batch", "poses_gt_batch")
+                           and v is not None else v)
+                       for k, v in results.items()}
         return results
+
+    def _bucket_demo_batch(self, batch, num_frames: int):
+        """Pad a demo clip up to the next DEMO.LENGTH_BUCKET_S boundary
+        (frame-aligned, parse_audio_length semantics) for the length-polymorphic
+        eval step.  The first n_fft//2 pad samples REFLECT the clip's tail —
+        exactly what the unbucketed mel's center padding reads there
+        (ops/mel.py _frame_signal) — and the rest is silence, so mel columns
+        below the clip's true t_mel are bit-equal to an unbucketed compile.
+
+        Returns ``(batch, padded_frames, valid_lens)`` where ``valid_lens`` is
+        the traced-scalar pair ``(t_mel_valid, num_frames_valid)``, or
+        ``(batch, num_frames, None)`` when bucketing is off.  Skipped when GT
+        poses or a frame-variant code ride along (their time axes would need
+        the same treatment — dataset demo batches never carry them)."""
+        bucket_s = float(self.cfg.DEMO.LENGTH_BUCKET_S or 0)
+        cc = self.cfg.VOICE2POSE.GENERATOR.CLIP_CODE
+        if bucket_s <= 0 or "poses" in batch or (self.has_code and cc.FRAME_VARIANT):
+            return batch, num_frames, None
+        fps = self.cfg.DATASET.FPS
+        bucket_frames = max(1, int(round(bucket_s * fps)))
+        padded = -(-num_frames // bucket_frames) * bucket_frames
+        audio = np.asarray(batch["audio"])
+        valid_lens = (np.int32(mel_frames_for_audio_length(audio.shape[-1])),
+                      np.int32(num_frames))
+        if padded == num_frames:
+            return batch, num_frames, valid_lens
+        target_len = int(padded * self.cfg.DATASET.AUDIO_SR / fps)
+        assert target_len >= audio.shape[-1]
+        L = audio.shape[-1]
+        lead = [(0, 0)] * (audio.ndim - 1)
+        reflect_n = min(target_len - L, 256, L - 1)  # n_fft//2 = 256
+        audio = np.pad(audio, lead + [(0, reflect_n)], mode="reflect")
+        audio = np.pad(audio, lead + [(0, target_len - L - reflect_n)])
+        batch = dict(batch)
+        batch["audio"] = audio
+        batch["num_frames"] = np.full_like(np.asarray(batch["num_frames"]),
+                                           padded)
+        return batch, padded, valid_lens
 
     def _demo_code(self, batch, interpolation_coeff):
         """One style code for a whole long-form clip (fixed index + optional

@@ -1,4 +1,4 @@
-"""Fused conv1+IN1 kernel (ops/conv1_pallas.py) vs the XLA lowering.
+"""Fused conv1+IN1 kernel (probes/conv1_pallas.py) vs the XLA lowering.
 
 Runs the Pallas kernel in interpret mode on CPU.  float32 must match a
 plain-XLA conv+InstanceNorm+LeakyReLU to round-off; bfloat16 (the flagship
@@ -13,7 +13,7 @@ import numpy as np
 import pytest
 
 from speechdrivestemplates_tpu.models.blocks import NORM_EPS
-from speechdrivestemplates_tpu.ops import conv1_pallas as CP
+from probes import conv1_pallas as CP
 
 
 def ref_layer(x, w, stride, slope=0.2):
