@@ -231,19 +231,37 @@ def main():
         _emit(0, error="device unreachable for 7 min")
         sys.exit(1)
 
-    # if the tunnel dies MID-bench, fail loudly rather than hang forever
+    # If the tunnel dies MID-bench, fail loudly rather than hang forever.  A
+    # cold remote compile can legitimately run past 20 min, and from inside
+    # this process that is indistinguishable from a dead tunnel — so the first
+    # firing extends once up to the global budget, and only the second firing
+    # (global budget exhausted) emits the honest zero.
+    state = {"watchdog": None, "extended": False}
+
     def no_primary():
-        print("[bench] primary inference bench wedged; device lost mid-run?",
+        if not state["extended"]:
+            state["extended"] = True
+            remaining = total_budget_s - (time.time() - t0) - 60.0
+            if remaining > 60.0:
+                print(f"[bench] primary bench slow (cold compile or device "
+                      f"loss); extending watchdog {remaining:.0f}s to the "
+                      f"global budget", file=sys.stderr, flush=True)
+                t = threading.Timer(remaining, no_primary)
+                t.daemon = True
+                t.start()
+                state["watchdog"] = t
+                return
+        print("[bench] primary inference bench exceeded the global budget",
               file=sys.stderr, flush=True)
-        _emit(0, error="device lost mid-bench")
+        _emit(0, error="bench exceeded budget (slow compile or device loss)")
         os._exit(1)
 
     primary_budget = min(1200.0, max(60.0, total_budget_s - (time.time() - t0) - 60.0))
-    primary_watchdog = threading.Timer(primary_budget, no_primary)
-    primary_watchdog.daemon = True
-    primary_watchdog.start()
+    state["watchdog"] = threading.Timer(primary_budget, no_primary)
+    state["watchdog"].daemon = True
+    state["watchdog"].start()
     frames_per_sec, step_time = bench_inference()
-    primary_watchdog.cancel()
+    state["watchdog"].cancel()
     print(f"[bench] inference: {frames_per_sec:.1f} pose-frames/s/chip "
           f"({step_time*1e3:.2f} ms / batch-128 fwd)", file=sys.stderr, flush=True)
     # Emit the primary metric NOW — a wedge in the auxiliary train benches

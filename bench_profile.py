@@ -416,25 +416,10 @@ def profile_conv1(batch: int = 128, width: int = 427):
     print(f"  rel err (xla vs pallas composition): {err:.2e}")
 
 
-def conv_as_patches_matmul(x, w, stride, padding):
-    """Convolution expressed as patch extraction + ONE dot_general, so autodiff
-    produces matmul gradients instead of conv-transpose/conv-filter-grad
-    kernels.  Candidate fix for the measured batch-128 train gap (docs/PERF.md
-    "train speed-of-light": the 1.37x-floor residue sits in XLA's
-    conv-backward achieved bandwidth on the full-res stem planes).
-    Feature order of conv_general_dilated_patches is (C_in major, then kh, kw)
-    — pinned by tests/test_misc.py::test_conv_as_patches_matmul_matches_conv."""
-    import jax
-    import jax.numpy as jnp
-
-    kh, kw, ci, co = w.shape
-    p = jax.lax.conv_general_dilated_patches(
-        x, (kh, kw), stride, padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    w_mat = jnp.transpose(w, (2, 0, 1, 3)).reshape(ci * kh * kw, co)
-    return jax.lax.dot_general(
-        p, w_mat.astype(p.dtype), (((3,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(p.dtype)
+# The A/B probe measures exactly the formulation the model runs behind
+# SYS.CONV_MM_GRAD: one shared implementation (ops/patches_conv.py), re-exported
+# here for the probe cases and the tests/test_misc.py pin.
+from speechdrivestemplates_tpu.ops.patches_conv import conv_as_patches_matmul  # noqa: E402
 
 
 def profile_conv_bwd(batch: int = 128, width: int = 427):

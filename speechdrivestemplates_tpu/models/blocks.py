@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.patches_conv import conv_as_patches_matmul
+
 kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 BN_MOMENTUM = 0.9  # flax momentum = 1 - torch momentum (0.1)
@@ -135,15 +137,8 @@ class PatchesConv(nn.Module):
         kernel = self.param("kernel", kaiming_normal,
                             (kh, kw, ci, self.features), jnp.float32)
         dtype = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
-        x = x.astype(dtype)
-        p = jax.lax.conv_general_dilated_patches(
-            x, (kh, kw), tuple(self.strides), list(self.padding),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        w_mat = jnp.transpose(kernel, (2, 0, 1, 3)).reshape(
-            ci * kh * kw, self.features).astype(dtype)
-        return jax.lax.dot_general(
-            p, w_mat, (((3,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dtype)
+        return conv_as_patches_matmul(x.astype(dtype), kernel.astype(dtype),
+                                      self.strides, self.padding)
 
 
 class ConvNormRelu(nn.Module):

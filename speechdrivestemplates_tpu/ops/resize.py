@@ -88,7 +88,11 @@ def _dynamic_resize_matrix(in_len: int, out_len: int, in_valid, out_valid,
     j = jnp.arange(in_len, dtype=jnp.float32)
     iv = jnp.asarray(in_valid, jnp.float32)
     ov = jnp.asarray(out_valid, jnp.float32)
-    src = jnp.clip((i + 0.5) * (iv / ov) - 0.5, 0.0, iv - 1.0)
+    # A deep downsample chain can drive a short clip's valid length to 0; the
+    # (i < ov) row mask already zeroes such rows, but 0/0 in the ratio would be
+    # NaN and 0 * NaN stays NaN — so compute the grid against clamped lengths.
+    ratio = jnp.maximum(iv, 1.0) / jnp.maximum(ov, 1.0)
+    src = jnp.clip((i + 0.5) * ratio - 0.5, 0.0, jnp.maximum(iv - 1.0, 0.0))
     W = jnp.clip(1.0 - jnp.abs(src[:, None] - j[None, :]), 0.0, 1.0)
     W = W * (i[:, None] < ov) * (j[None, :] < iv)
     return W.astype(dtype)

@@ -118,6 +118,24 @@ def test_dynamic_resize_matrix_matches_static():
         assert not W[ov:].any() and not W[:, iv:].any()
 
 
+def test_dynamic_resize_matrix_zero_valid_is_finite():
+    """A deep downsample chain can collapse a short clip's valid length to 0;
+    the grid must stay finite (all-masked), not NaN from the 0/0 ratio —
+    regression for the bucketed-demo silent-NaN bug."""
+    import jax.numpy as jnp
+    from speechdrivestemplates_tpu.ops.resize import (
+        _dynamic_resize_matrix, interpolate_linear_time_valid)
+
+    for iv, ov in [(9, 0), (0, 0), (0, 5)]:
+        W = np.asarray(_dynamic_resize_matrix(16, 32, jnp.int32(iv),
+                                              jnp.int32(ov), jnp.float32))
+        assert np.isfinite(W).all() and not W[ov:].any()
+    x = np.ones((2, 16, 4), np.float32)
+    y = np.asarray(interpolate_linear_time_valid(jnp.asarray(x), 32,
+                                                 jnp.int32(0), jnp.int32(0)))
+    assert np.isfinite(y).all() and not y.any()
+
+
 def test_bucket_pads_frame_aligned(pipes):
     bucketed, _, _ = pipes
     from speechdrivestemplates_tpu.utils.audio import parse_audio_length
