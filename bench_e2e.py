@@ -51,9 +51,53 @@ def latest_ckpt(out_dir: str) -> str:
     return cands[-1]
 
 
+def preexisting_epoch(out_dir: str):
+    """Epoch of the newest checkpoint already under ``out_dir`` (None if none):
+    with TRAIN.AUTO_RESUME in the common overrides, a relaunched invocation
+    continues from it, so the stage's wall time is NOT a fresh full run and
+    must be recorded as such."""
+    try:
+        name = os.path.basename(latest_ckpt(out_dir))
+        return int(name.split("epoch-")[1].split("_")[0])
+    except (AssertionError, IndexError, ValueError):
+        return None
+
+
+class StageLog(list):
+    """Stage records for THIS invocation, mirrored append-only to
+    ``<root>/stages.jsonl`` so records survive a mid-run death (observed in
+    production: the device tunnel wedged at stage 2 and the orchestrator was
+    killed, losing stage 1's record).  The final summary is composed from the
+    jsonl (latest record per stage wins), so an outage costs a re-launch of
+    the remaining ``--stages`` digits, not the evidence."""
+
+    def __init__(self, path: str):
+        super().__init__()
+        self.path = path
+
+    def append(self, rec):  # noqa: A003 - list interface
+        super().append(rec)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def merged(self) -> list:
+        by_stage, order = {}, []
+        try:
+            with open(self.path) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if rec["stage"] not in by_stage:
+                        order.append(rec["stage"])
+                    by_stage[rec["stage"]] = rec
+        except FileNotFoundError:
+            pass
+        return [by_stage[s] for s in order]
+
+
 def run_stage(name: str, argv: list[str], results: list, env=None,
               timeout: float | None = None, retries: int = 0,
-              resume_extra: list[str] | None = None) -> float:
+              resume_extra: list[str] | None = None,
+              out_dir: str | None = None) -> float:
     """Run one CLI stage; on a hang (per-stage ``timeout``) or crash, retry up
     to ``retries`` times with ``resume_extra`` appended (for training stages:
     ``TRAIN.AUTO_RESUME True``, so the retry continues from the newest
@@ -61,6 +105,11 @@ def run_stage(name: str, argv: list[str], results: list, env=None,
     once in production: the chip stopped answering mid-epoch and the
     subprocess blocked forever on the device fence — then costs one timeout
     window, not the whole run."""
+    resumed_from = preexisting_epoch(out_dir) if out_dir else None
+    if resumed_from is not None:
+        print(f"[{name}] NOTE: resuming from pre-existing epoch-{resumed_from} "
+              f"checkpoint; wall_s measures the remainder, not a fresh run",
+              flush=True)
     tic = time.time()
     for attempt in range(retries + 1):
         cmd = list(argv) + (resume_extra if attempt and resume_extra else [])
@@ -77,6 +126,8 @@ def run_stage(name: str, argv: list[str], results: list, env=None,
     wall = time.time() - tic
     rec = {"stage": name, "wall_s": round(wall, 1), "ok": code == 0,
            "attempts": attempt + 1}
+    if resumed_from is not None:
+        rec["resumed_from_epoch"] = resumed_from
     results.append(rec)
     print(json.dumps(rec), flush=True)
     assert code == 0, f"stage {name} failed ({code})"
@@ -120,6 +171,9 @@ def main():
     ap.add_argument("--light_timeout", type=float, default=1800,
                     help="same, for the non-training stages (test/demo/"
                          "export/serve; 0 = no timeout)")
+    ap.add_argument("--platform", default="",
+                    help="pin SYS.PLATFORM in every stage (e.g. 'cpu' for a "
+                         "smoke run while the TPU tunnel is down)")
     args = ap.parse_args()
     t_train = dict(timeout=args.stage_timeout or None, retries=2,
                    resume_extra=["TRAIN.AUTO_RESUME", "True"])
@@ -154,8 +208,10 @@ def main():
               "TRAIN.CHECKPOINT_INTERVAL", str(min(10, args.epochs)),
               "TRAIN.SAVE_VIDEO", "False", "TEST.SAVE_VIDEO", "False",
               "SYS.LOG_INTERVAL", "200", "SYS.NUM_WORKERS", "2"]
+    if args.platform:
+        common += ["SYS.PLATFORM", args.platform]
     py = sys.executable
-    results = []
+    results = StageLog(os.path.join(args.root, "stages.jsonl"))
     out = {k: os.path.join(args.root, f"out_{k}")
            for k in ("p2p", "bp", "vae", "s2g")}
 
@@ -163,7 +219,7 @@ def main():
     if "1" in args.stages:
         run_stage("pose2pose-100ep", [
             py, "main.py", "--config_file", "configs/pose2pose.yaml",
-            "--tag", "prod", *common, "SYS.OUTPUT_DIR", out["p2p"]], results, **t_train)
+            "--tag", "prod", *common, "SYS.OUTPUT_DIR", out["p2p"]], results, out_dir=out["p2p"], **t_train)
     ae_ckpt = (latest_ckpt(out["p2p"])
                if any(s in args.stages for s in "2345") else None)
 
@@ -172,21 +228,21 @@ def main():
             py, "main.py", "--config_file", "configs/voice2pose_sdt_bp.yaml",
             "--tag", "prod", *common,
             "VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT", ae_ckpt,
-            "SYS.OUTPUT_DIR", out["bp"]], results, **t_train)
+            "SYS.OUTPUT_DIR", out["bp"]], results, out_dir=out["bp"], **t_train)
 
     if "3" in args.stages:
         run_stage("sdt_vae-100ep", [
             py, "main.py", "--config_file", "configs/voice2pose_sdt_vae.yaml",
             "--tag", "prod", *common,
             "VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT", ae_ckpt,
-            "SYS.OUTPUT_DIR", out["vae"]], results, **t_train)
+            "SYS.OUTPUT_DIR", out["vae"]], results, out_dir=out["vae"], **t_train)
 
     if "4" in args.stages:
         run_stage("s2g_gan-100ep", [
             py, "main.py", "--config_file", "configs/voice2pose_s2g.yaml",
             "--tag", "prod", *common,
             "VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT", ae_ckpt,
-            "SYS.OUTPUT_DIR", out["s2g"]], results, **t_train)
+            "SYS.OUTPUT_DIR", out["s2g"]], results, out_dir=out["s2g"], **t_train)
 
     bp_ckpt = (latest_ckpt(out["bp"])
                if any(s in args.stages for s in "567") else None)
@@ -230,7 +286,9 @@ def main():
         run_stage("serve(artifact)", [
             py, "serving/run_artifact.py",
             os.path.join(args.root, "serving_artifact"), demo_wav,
-            os.path.join(args.root, "served_poses.npz")], results, **t_light)
+            os.path.join(args.root, "served_poses.npz")]
+            + (["--platform", args.platform] if args.platform else []),
+            results, **t_light)
         import numpy as np
         poses = np.load(os.path.join(args.root, "served_poses.npz"))
         shp = {k: list(poses[k].shape) for k in poses.files}
@@ -240,12 +298,18 @@ def main():
 
     total = time.time() - total_tic
     steps_per_epoch = -(-args.train // args.batch)
+    merged = results.merged()
+    chain_wall = sum(r.get("wall_s", 0.0) for r in merged if r.get("ok"))
     summary = {
         "metric": "e2e_production_wall",
-        "value": round(total, 1), "unit": "s",
+        # the full chain's cost across invocations; this process's own wall is
+        # wall_this_run_s (equal when all 7 stages ran in one go)
+        "value": round(chain_wall, 1), "unit": "s",
+        "wall_this_run_s": round(total, 1),
         "dataset": f"{args.train}+{args.dev} clips",
         "budget": f"{args.epochs} epochs x {steps_per_epoch} steps, batch {args.batch}",
-        "stages": results,
+        "stages": merged,  # incl. records from earlier invocations
+        "stages_this_run": [r["stage"] for r in results],
     }
     print("\n" + json.dumps(summary), flush=True)
     with open(os.path.join(args.root, "summary.json"), "w") as f:

@@ -69,6 +69,11 @@ def setup_config():
 
 
 def run(args, cfg):
+    if cfg.SYS.PLATFORM:
+        # must land before any device enumeration (see config.py SYS.PLATFORM)
+        import jax
+
+        jax.config.update("jax_platforms", cfg.SYS.PLATFORM)
     if cfg.SYS.DEBUG_NANS:
         import jax
 
@@ -108,6 +113,11 @@ def run(args, cfg):
 
 def main():
     args, cfg = setup_config()
+
+    if cfg.SYS.PLATFORM:
+        import jax
+
+        jax.config.update("jax_platforms", cfg.SYS.PLATFORM)
 
     if cfg.SYS.DISTRIBUTED:
         # Multi-host TPU slice: every host runs this same program; jax.distributed

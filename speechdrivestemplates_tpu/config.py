@@ -373,6 +373,12 @@ def _build_defaults() -> CfgNode:
     _C.SYS.PROFILE.NUM_STEPS = 5     # trace duration in steps
     _C.SYS.PROFILE.OUT_DIR = None    # default: <exp>/profile
     _C.SYS.DEBUG_NANS = False        # jax_debug_nans: fail fast on non-finite values
+    # Pin the jax backend ('' = jax default selection).  'cpu' matters
+    # operationally: this image force-registers a remote TPU plugin whose
+    # device enumeration BLOCKS when the tunnel is down, and the JAX_PLATFORMS
+    # env var alone does not override it — only the in-process config does.
+    # `SYS.PLATFORM cpu` keeps the whole CLI usable through an outage.
+    _C.SYS.PLATFORM = ""
 
     return _C
 

@@ -81,6 +81,35 @@ def test_fgd_sanity(rng):
     assert far > 100  # ~16 * 9
 
 
+def test_bench_e2e_stagelog_survives_restart(tmp_path):
+    """Stage records persist to stages.jsonl and merge across orchestrator
+    invocations (latest record per stage wins) — outage recovery for the
+    production run: a mid-run death costs a re-launch of the remaining
+    --stages digits, not the completed stages' evidence."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from bench_e2e import StageLog
+
+    path = str(tmp_path / "stages.jsonl")
+    first = StageLog(path)
+    first.append({"stage": "pose2pose-100ep", "wall_s": 685.5, "ok": True})
+    first.append({"stage": "sdt_bp-100ep", "wall_s": 1740.0, "ok": False})
+
+    # the orchestrator dies; a new invocation re-runs only the failed stage
+    second = StageLog(path)
+    second.append({"stage": "sdt_bp-100ep", "wall_s": 920.0, "ok": True,
+                   "resumed_from_epoch": 80})
+    merged = second.merged()
+    assert [r["stage"] for r in merged] == ["pose2pose-100ep", "sdt_bp-100ep"]
+    assert merged[0]["wall_s"] == 685.5          # survived the death
+    assert merged[1]["ok"] and merged[1]["wall_s"] == 920.0  # latest wins
+    assert len(second) == 1                       # this-run records only
+
+    # records without prior file: merged() of a fresh path is empty
+    assert StageLog(str(tmp_path / "none.jsonl")).merged() == []
+
+
 @pytest.mark.slow
 def test_bench_e2e_run_stage_retries_with_resume(tmp_path):
     """A hung stage is killed at the per-stage timeout and retried with the
