@@ -61,6 +61,37 @@ def test_flagship_generator_bf16_tracks_fp32():
     assert corr > 0.999, corr
 
 
+def test_flagship_forward_lowers_all_convs_bf16():
+    """Pin the compute-dtype layout of the benchmarked serving forward: every
+    convolution lowers with bf16 operands (the 2.4x bf16 win in docs/PERF.md),
+    and the only fp32 dot_generals are the mel frontend's DFT/mel matmuls
+    (deliberately fp32 at HIGHEST precision — bf16x3 on the MXU).  A silent
+    promotion back to f32 convs (e.g. a dtype plumbing regression in
+    ConvNormRelu) would invalidate the recorded perf numbers long before any
+    accuracy test noticed."""
+    import re
+    import sys
+    from collections import Counter
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    txt = jax.jit(fn).lower(*args).as_text()
+
+    def operand_sig(line):
+        return tuple(re.findall(r"tensor<[^>]*x(f32|bf16|f64)[^>]*>", line))
+
+    convs = Counter(operand_sig(l) for l in
+                    re.findall(r"stablehlo\.convolution.*", txt))
+    dots = Counter(operand_sig(l) for l in
+                   re.findall(r"stablehlo\.dot_general.*", txt))
+    assert convs and set(convs) == {("bf16", "bf16", "bf16")}, convs
+    n_f32_dots = sum(n for sig, n in dots.items() if "f32" in sig)
+    assert n_f32_dots <= 3, dots  # the mel frontend only
+    assert dots.get(("bf16", "bf16", "bf16"), 0) >= 1, dots
+
+
 @pytest.mark.slow
 def test_flagship_train_losses_bf16_tracks_fp32(tmp_path):
     """One full SDT-BP train step: bf16 losses within a few % of fp32."""
