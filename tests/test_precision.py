@@ -92,6 +92,46 @@ def test_flagship_forward_lowers_all_convs_bf16():
     assert dots.get(("bf16", "bf16", "bf16"), 0) >= 1, dots
 
 
+def test_flagship_train_step_lowers_all_convs_bf16(tmp_path):
+    """Same dtype pin for the full TRAIN step: the backward pass (conv
+    transpose / filter-grad kernels, where the recorded train MFU lives) must
+    also lower entirely with bf16 conv operands.  Forward-only pinning would
+    miss a promotion inside jax.grad."""
+    import re
+    import sys
+    from collections import Counter
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from __graft_entry__ import _flagship_cfg
+    from speechdrivestemplates_tpu.datasets.synthetic import make_synthetic_speaker
+    from speechdrivestemplates_tpu.pipelines import get_pipeline
+
+    root = str(tmp_path / "speakers")
+    make_synthetic_speaker(root, "oliver", num_train=4, num_dev=0)
+    cfg = _flagship_cfg()
+    cfg.DATASET.ROOT_DIR = root
+    cfg.TRAIN.BATCH_SIZE = 4
+    cfg.TRAIN.VALIDATE = False
+    cfg.TRAIN.SAVE_VIDEO = False
+    cfg.SYS.MESH.DATA = 1
+    cfg.freeze()
+    pipe = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
+    pipe.setup_dataset(cfg, "train")
+    pipe.setup_model(cfg)
+    pipe.setup_optimizer()
+    batch = next(iter(pipe.train_dataloader))
+    txt = pipe._get_train_step().lower(
+        pipe.state, pipe._device_batch(batch), jax.random.PRNGKey(0)).as_text()
+
+    def sig(line):
+        return tuple(re.findall(r"tensor<[^>]*x(f32|bf16|f64)[^>]*>", line))
+
+    convs = Counter(sig(l) for l in re.findall(r"stablehlo\.convolution.*", txt))
+    dots = Counter(sig(l) for l in re.findall(r"stablehlo\.dot_general.*", txt))
+    assert convs and set(convs) == {("bf16", "bf16", "bf16")}, convs
+    assert sum(n for s, n in dots.items() if "f32" in s) <= 3, dots  # mel only
+
+
 @pytest.mark.slow
 def test_flagship_train_losses_bf16_tracks_fp32(tmp_path):
     """One full SDT-BP train step: bf16 losses within a few % of fp32."""
