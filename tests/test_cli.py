@@ -25,8 +25,9 @@ def _env():
     return env
 
 
-def _run(args):
-    return subprocess.run([sys.executable, "main.py"] + args, cwd=REPO, env=_env(),
+def _run(args, env=None):
+    return subprocess.run([sys.executable, "main.py"] + args, cwd=REPO,
+                          env=env or _env(),
                           capture_output=True, text=True, timeout=1200)
 
 
@@ -55,9 +56,18 @@ def test_cli_train_test_demo(tmp_path):
               "--test_only", "--checkpoint", ckpts[0]] + common)
     assert r.returncode == 0, r.stderr[-2000:]
 
+    # the demo leg runs in the REAL environment (TPU-registering sitecustomize
+    # intact, no JAX_PLATFORMS sanitizing) with only the SYS.PLATFORM pin —
+    # the exact configuration that keeps the CLI usable through a wedged
+    # device tunnel (see config.py SYS.PLATFORM)
+    env_real = dict(os.environ)
+    env_real.setdefault("JAX_COMPILATION_CACHE_DIR",
+                        os.path.expanduser("~/.cache/sdt_jax_test"))
+    env_real.pop("JAX_PLATFORMS", None)
     r = _run(["--config_file", "configs/voice2pose_sdt_bp.yaml", "--tag", "cli",
               "--demo_input", wav, "--checkpoint", ckpts[0]] + common
-             + ["SYS.VIDEO_FORMAT", "['img']"])
+             + ["SYS.VIDEO_FORMAT", "['img']", "SYS.PLATFORM", "cpu"],
+             env=env_real)
     assert r.returncode == 0, r.stderr[-2000:]
     demo_npz = glob.glob(os.path.join(out, "*DEMO*", "results", "*.npz"))
     assert demo_npz
