@@ -236,9 +236,13 @@ def main():
     # this process that is indistinguishable from a dead tunnel — so the first
     # firing extends once up to the global budget, and only the second firing
     # (global budget exhausted) emits the honest zero.
-    state = {"watchdog": None, "extended": False}
+    state = {"watchdog": None, "extended": False, "done": False}
 
     def no_primary():
+        if state["done"]:
+            # bench_inference finished in the instant between this timer
+            # firing and the main thread's cancel() — nothing is wedged
+            return
         if not state["extended"]:
             state["extended"] = True
             remaining = total_budget_s - (time.time() - t0) - 60.0
@@ -261,6 +265,7 @@ def main():
     state["watchdog"].daemon = True
     state["watchdog"].start()
     frames_per_sec, step_time = bench_inference()
+    state["done"] = True  # before cancel: the timer may already be mid-fire
     state["watchdog"].cancel()
     print(f"[bench] inference: {frames_per_sec:.1f} pose-frames/s/chip "
           f"({step_time*1e3:.2f} ms / batch-128 fwd)", file=sys.stderr, flush=True)

@@ -65,7 +65,7 @@ def preexisting_epoch(out_dir: str):
 
 class StageLog(list):
     """Stage records for THIS invocation, mirrored append-only to
-    ``<root>/stages.jsonl`` so records survive a mid-run death (observed in
+    ``<root>/stages_<config>.jsonl`` so records survive a mid-run death (observed in
     production: the device tunnel wedged at stage 2 and the orchestrator was
     killed, losing stage 1's record).  The final summary is composed from the
     jsonl (latest record per stage wins), so an outage costs a re-launch of
@@ -77,21 +77,43 @@ class StageLog(list):
 
     def append(self, rec):  # noqa: A003 - list interface
         super().append(rec)
-        with open(self.path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        with open(self.path, "ab+") as f:
+            # a kill mid-append can leave a torn final line with no newline;
+            # repair it so this record isn't destroyed by concatenation
+            f.seek(0, os.SEEK_END)
+            if f.tell() > 0:
+                f.seek(-1, os.SEEK_END)
+                if f.read(1) != b"\n":
+                    f.write(b"\n")
+            f.write((json.dumps(rec) + "\n").encode())
 
     def merged(self) -> list:
-        by_stage, order = {}, []
+        """Latest record per stage, in first-seen order; ``wall_s_all_attempts``
+        accumulates wall_s across every record of that stage (a failed earlier
+        invocation's time is real cost even though its record is superseded).
+        Torn/malformed lines (killed mid-write) are skipped, not fatal."""
+        by_stage, walls, order = {}, {}, []
         try:
             with open(self.path) as f:
                 for line in f:
-                    rec = json.loads(line)
-                    if rec["stage"] not in by_stage:
-                        order.append(rec["stage"])
-                    by_stage[rec["stage"]] = rec
+                    try:
+                        rec = json.loads(line)
+                        name = rec["stage"]
+                    except (json.JSONDecodeError, KeyError, TypeError):
+                        continue
+                    if name not in by_stage:
+                        order.append(name)
+                    by_stage[name] = rec
+                    walls[name] = walls.get(name, 0.0) + rec.get("wall_s", 0.0)
         except FileNotFoundError:
             pass
-        return [by_stage[s] for s in order]
+        out = []
+        for s in order:
+            rec = dict(by_stage[s])
+            if walls[s] > rec.get("wall_s", 0.0):
+                rec["wall_s_all_attempts"] = round(walls[s], 1)
+            out.append(rec)
+        return out
 
 
 def run_stage(name: str, argv: list[str], results: list, env=None,
@@ -211,7 +233,11 @@ def main():
     if args.platform:
         common += ["SYS.PLATFORM", args.platform]
     py = sys.executable
-    results = StageLog(os.path.join(args.root, "stages.jsonl"))
+    # keyed by run configuration so a smoke run and a production run sharing
+    # --root can never merge their records into one summary
+    results = StageLog(os.path.join(
+        args.root,
+        f"stages_{args.train}x{args.epochs}ep_b{args.batch}.jsonl"))
     out = {k: os.path.join(args.root, f"out_{k}")
            for k in ("p2p", "bp", "vae", "s2g")}
 
@@ -299,17 +325,23 @@ def main():
     total = time.time() - total_tic
     steps_per_epoch = -(-args.train // args.batch)
     merged = results.merged()
-    chain_wall = sum(r.get("wall_s", 0.0) for r in merged if r.get("ok"))
+    # The chain's true cost as executed across invocations: every attempt's
+    # wall counts (a failed attempt's hours are real cost, and a resumed
+    # stage's record alone only holds the remainder).  wall_this_run_s is
+    # this process's own wall; they're equal when all 7 stages ran in one go.
+    chain_wall = sum(r.get("wall_s_all_attempts", r.get("wall_s", 0.0))
+                     for r in merged if r.get("ok"))
+    wall_failed = sum(r.get("wall_s_all_attempts", r.get("wall_s", 0.0))
+                      for r in merged if r.get("ok") is False)
     summary = {
         "metric": "e2e_production_wall",
-        # the full chain's cost across invocations; this process's own wall is
-        # wall_this_run_s (equal when all 7 stages ran in one go)
         "value": round(chain_wall, 1), "unit": "s",
         "wall_this_run_s": round(total, 1),
         "dataset": f"{args.train}+{args.dev} clips",
         "budget": f"{args.epochs} epochs x {steps_per_epoch} steps, batch {args.batch}",
         "stages": merged,  # incl. records from earlier invocations
         "stages_this_run": [r["stage"] for r in results],
+        "wall_failed_attempts_s": round(wall_failed, 1),
     }
     print("\n" + json.dumps(summary), flush=True)
     with open(os.path.join(args.root, "summary.json"), "w") as f:

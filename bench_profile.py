@@ -416,10 +416,15 @@ def profile_conv1(batch: int = 128, width: int = 427):
     print(f"  rel err (xla vs pallas composition): {err:.2e}")
 
 
-# The A/B probe measures exactly the formulation the model runs behind
-# SYS.CONV_MM_GRAD: one shared implementation (ops/patches_conv.py), re-exported
-# here for the probe cases and the tests/test_misc.py pin.
-from speechdrivestemplates_tpu.ops.patches_conv import conv_as_patches_matmul  # noqa: E402
+def conv_as_patches_matmul(x, w, stride, padding):
+    """Lazy re-export of ops/patches_conv.py — the single implementation the
+    model runs behind SYS.CONV_MM_GRAD, so the A/B probe measures exactly what
+    the model would.  Lazy (like every jax import in this file) so importing
+    bench_profile stays cheap."""
+    from speechdrivestemplates_tpu.ops.patches_conv import (
+        conv_as_patches_matmul as impl)
+
+    return impl(x, w, stride, padding)
 
 
 def profile_conv_bwd(batch: int = 128, width: int = 427):

@@ -69,11 +69,6 @@ def setup_config():
 
 
 def run(args, cfg):
-    if cfg.SYS.PLATFORM:
-        # must land before any device enumeration (see config.py SYS.PLATFORM)
-        import jax
-
-        jax.config.update("jax_platforms", cfg.SYS.PLATFORM)
     if cfg.SYS.DEBUG_NANS:
         import jax
 
@@ -115,6 +110,8 @@ def main():
     args, cfg = setup_config()
 
     if cfg.SYS.PLATFORM:
+        # must precede jax.distributed.initialize and any device enumeration
+        # (see config.py SYS.PLATFORM)
         import jax
 
         jax.config.update("jax_platforms", cfg.SYS.PLATFORM)

@@ -62,7 +62,7 @@ def test_cli_train_test_demo(tmp_path):
     # device tunnel (see config.py SYS.PLATFORM)
     env_real = dict(os.environ)
     env_real.setdefault("JAX_COMPILATION_CACHE_DIR",
-                        os.path.expanduser("~/.cache/sdt_jax_test"))
+                        os.path.expanduser("~/.cache/sdt_jax_tests"))
     env_real.pop("JAX_PLATFORMS", None)
     r = _run(["--config_file", "configs/voice2pose_sdt_bp.yaml", "--tag", "cli",
               "--demo_input", wav, "--checkpoint", ckpts[0]] + common

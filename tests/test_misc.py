@@ -96,14 +96,21 @@ def test_bench_e2e_stagelog_survives_restart(tmp_path):
     first.append({"stage": "pose2pose-100ep", "wall_s": 685.5, "ok": True})
     first.append({"stage": "sdt_bp-100ep", "wall_s": 1740.0, "ok": False})
 
+    # the kill also tore the final line mid-write (no newline, half a record)
+    with open(path, "a") as f:
+        f.write('{"stage": "sdt_vae-100ep", "wall')
+
     # the orchestrator dies; a new invocation re-runs only the failed stage
     second = StageLog(path)
     second.append({"stage": "sdt_bp-100ep", "wall_s": 920.0, "ok": True,
                    "resumed_from_epoch": 80})
     merged = second.merged()
+    # torn line skipped; the append after it was newline-repaired, not eaten
     assert [r["stage"] for r in merged] == ["pose2pose-100ep", "sdt_bp-100ep"]
     assert merged[0]["wall_s"] == 685.5          # survived the death
     assert merged[1]["ok"] and merged[1]["wall_s"] == 920.0  # latest wins
+    # the failed first attempt's 1740 s is real cost: accumulated, not lost
+    assert merged[1]["wall_s_all_attempts"] == 2660.0
     assert len(second) == 1                       # this-run records only
 
     # records without prior file: merged() of a fresh path is empty
