@@ -20,63 +20,11 @@ import sys
 import time
 
 
-def _enable_compile_cache():
-    """Persistent XLA compilation cache: first-compile of the full train step can
-    take minutes on remote-compile setups; cache it across runs."""
-    try:
-        import jax
-
-        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                   os.path.expanduser("~/.cache/sdt_jax"))
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
-
-# The probe EXECUTES a tiny jitted op: the 2026-08-18 outage had
-# jax.devices() return instantly while any execution wedged forever, so an
-# enumeration-only probe green-lights a dead device.
-_PROBE_SRC = ("import jax, jax.numpy as jnp; "
-              "jax.jit(lambda x: x + 1)(jnp.zeros((8, 8))).block_until_ready()")
-
-
-def _wait_for_device(max_wait_s: float = 420, probe_timeout: float = 90) -> bool:
-    """The chip is reached through a remote tunnel that has been observed to
-    wedge for tens of minutes (a production run once blocked forever on a
-    device fence).  Probe a tiny EXECUTION in a SUBPROCESS — a hang there
-    cannot wedge this process — and wait for recovery, so a transient outage
-    delays the bench instead of silently hanging it.
-
-    The wait budget is deliberately SHORT (7 min): round 3's 30-min budget
-    outlived the driver's own process timeout, so the honest zero-value JSON
-    line never printed and the round artifact was an opaque rc=124.  The
-    budget must expire — and the error line must be on stdout — strictly
-    inside the driver window."""
-    import subprocess
-
-    deadline = time.time() + max_wait_s
-    attempt = 0
-    while True:
-        attempt += 1
-        remaining = deadline - time.time()
-        if remaining <= 0:
-            return False
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", _PROBE_SRC],
-                timeout=min(probe_timeout, max(5.0, remaining)),
-                capture_output=True)
-            if r.returncode == 0:
-                return True
-        except subprocess.TimeoutExpired:
-            pass
-        if time.time() >= deadline:
-            return False
-        print(f"[bench] device unreachable (probe {attempt}); retrying",
-              file=sys.stderr, flush=True)
-        time.sleep(15)
+# Shared outage policy (bench_common.py): module-level aliases so tests can
+# monkeypatch bench._wait_for_device, and so bench_profile.py's historical
+# `bench._enable_compile_cache()` call keeps working.
+from bench_common import enable_compile_cache as _enable_compile_cache
+from bench_common import wait_for_device as _wait_for_device
 
 
 def bench_inference(batch: int = 128, iters: int = 40, warmup: int = 5):

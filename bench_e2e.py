@@ -11,13 +11,20 @@ generated reference-layout dataset:
   4. voice2pose_s2g.yaml   -- train the GAN baseline 100 epochs
   5. --test_only           -- SDT-BP eval (L2 / lip-sync / FGD) from 2's ckpt
   6. --demo_input demo.wav -- wav -> rendered mp4 from 2's ckpt
-  7. --export / --export_torch -- serving artifact + reference-format .pth
+  7. --export / --export_torch -- serving artifacts (batch-1 + batch-128,
+     the latter slope-timed on the chip) + reference-format .pth
+  8. warm-cache reruns (pose2pose, sdt_bp, test) -- same commands, fresh
+     output dirs, persistent XLA compile cache already populated: the wall
+     delta vs stages 1/2/5 is the compile share the cache eliminates
 
 Every stage is a subprocess invocation of ``python main.py`` -- exactly what a
-user types -- timed wall-clock.  Emits one JSON line per stage and a summary.
+user types -- timed wall-clock, with a per-stage phase breakdown parsed from
+the experiment log (parse_log_breakdown) and acceptance-band checks on the
+converged test metrics (check_acceptance).  Emits one JSON line per stage and
+a summary.
 
 Usage:  python bench_e2e.py [--root DIR] [--train 1024] [--dev 131]
-                            [--epochs 100] [--batch 32] [--stages 1234567]
+                            [--epochs 100] [--batch 32] [--stages 12345678]
                             [--stage_timeout 5400] [--light_timeout 1800]
 """
 
@@ -27,11 +34,127 @@ import argparse
 import glob
 import json
 import os
+import re
 import subprocess
 import sys
 import time
+from datetime import datetime
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+
+_TS_RE = re.compile(r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3}) ")
+_CKPT_RE = re.compile(
+    r"Finished async_save \(blocking \+ background\)\. Time taken: ([0-9.]+)")
+
+
+def _ts(line: str):
+    m = _TS_RE.match(line)
+    if not m:
+        return None
+    return datetime.strptime(m.group(1), "%Y-%m-%d %H:%M:%S,%f").timestamp()
+
+
+def parse_log_breakdown(out_dir: str, wall_s: float | None = None) -> dict:
+    """Phase breakdown of a stage's wall from its newest experiment log, so
+    the jsonl explains where every production second went (the round-4 stage
+    walls were 20-100x the chip-step cost with no accounting).
+
+    Buckets (seconds, summing to ~wall_s):
+      spawn_s       process start -> first log line (imports + device init)
+      setup_s       first log line -> '* begins!' (dataset, model, ckpt load)
+      compile_s     first work unit minus the steady-state unit (train: first
+                    epoch vs median epoch; test/demo: time to first step —
+                    there IS no steady unit, eval compiles once and streams)
+      train_s       steady training-step time (epoch walls minus validate,
+                    checkpoint and compile shares)
+      validate_s    sum of 'Validation begins!' -> '... val_time:' intervals
+      ckpt_s        sum of orbax async_save commit times
+      tail_s        after the last epoch/step line (final eval, video, exit)
+    """
+    logs = sorted(glob.glob(os.path.join(out_dir, "*", "*.log")),
+                  key=os.path.getmtime)
+    if not logs:
+        return {}
+    with open(logs[-1], errors="replace") as f:
+        lines = [ln for ln in f if _TS_RE.match(ln)]
+    if len(lines) < 2:
+        return {}
+    t0, t_end = _ts(lines[0]), _ts(lines[-1])
+    out = {"log_span_s": t_end - t0}
+    if wall_s is not None and wall_s > out["log_span_s"]:
+        out["spawn_s"] = wall_s - out["log_span_s"]
+
+    t_begin = None
+    epoch_ts, ckpt_s, val_s = [], 0.0, 0.0
+    first_step_ts = None
+    val_open = None
+    for ln in lines:
+        t = _ts(ln)
+        if t_begin is None and re.search(r"(Training|Testing|Demo) begins!", ln):
+            t_begin = t
+        elif "Validation begins!" in ln:
+            val_open = t
+        elif val_open is not None and "val_time:" in ln:
+            val_s += t - val_open
+            val_open = None
+        elif "[TRAIN] epoch_time:" in ln:
+            epoch_ts.append(t)
+        elif (first_step_ts is None
+              and re.search(r"\[(TEST|DEMO)\] epoch: \S+ +step: 1\b", ln)):
+            first_step_ts = t
+        m = _CKPT_RE.search(ln)
+        if m:
+            ckpt_s += float(m.group(1))
+    if t_begin is None:
+        return {k: round(v, 1) for k, v in out.items()}
+    out["setup_s"] = t_begin - t0
+    if epoch_ts:  # training stage
+        walls = [b - a for a, b in zip([t_begin] + epoch_ts[:-1], epoch_ts)]
+        steady = sorted(walls)[len(walls) // 2]
+        out["compile_s"] = max(0.0, walls[0] - steady)
+        out["validate_s"] = val_s
+        out["ckpt_s"] = ckpt_s
+        out["train_s"] = max(0.0, (epoch_ts[-1] - t_begin) - out["compile_s"]
+                             - val_s - ckpt_s)
+        out["tail_s"] = t_end - epoch_ts[-1]
+        out["epochs"] = len(epoch_ts)
+        out["steady_epoch_s"] = steady
+    elif first_step_ts is not None:  # test/demo stage
+        out["compile_s"] = first_step_ts - t_begin
+        out["eval_s"] = t_end - first_step_ts
+    return {k: (round(v, 1) if isinstance(v, float) else v)
+            for k, v in out.items()}
+
+
+# Acceptance bands for the converged production metrics on the synthetic
+# fixture (1024+131 clips, 100 epochs, batch 32, seed 0).  Derivation
+# (docs/PERF.md "Acceptance bands"): the training dynamics are pinned to the
+# unmodified torch reference to ~1.6e-6 relative over 72 steps
+# (tests/test_convergence_parity.py), so a converged jax run IS the reference
+# result up to data order and eval-code sampling; the bands are the measured
+# round-4/round-5 production values widened to cover that sampling variation
+# (the eval samples N(0,I) template codes, reference voice2pose.py:92-122)
+# while still failing on any optimizer-class regression — a dead LR schedule,
+# a wrong-sign gradient, or a broken code bank multiplies L2/FGD well past
+# these limits (see the untrained-model row in docs/PERF.md for the measured
+# no-training values on this fixture).
+ACCEPTANCE_BANDS = {
+    "L2_dist": (100.0, 200.0),        # measured: 153.9 (r4)
+    "lip_sync_error_n": (0.45, 1.10),  # measured: 0.80 (r4)
+    "FGD_mu": (2.0, 60.0),             # measured: 24.3 (r4)
+    "FGD_mu_logvar": (2.0, 60.0),      # measured: 24.6 (r4)
+}
+
+
+def check_acceptance(metrics: dict) -> list[str]:
+    """Violation strings for any metric outside its band ([] = accepted)."""
+    bad = []
+    for key, (lo, hi) in ACCEPTANCE_BANDS.items():
+        if key not in metrics:
+            bad.append(f"{key}: missing from test metrics")
+        elif not (lo <= metrics[key] <= hi):
+            bad.append(f"{key}: {metrics[key]} outside [{lo}, {hi}]")
+    return bad
 
 
 def latest_ckpt(out_dir: str) -> str:
@@ -119,14 +242,21 @@ class StageLog(list):
 def run_stage(name: str, argv: list[str], results: list, env=None,
               timeout: float | None = None, retries: int = 0,
               resume_extra: list[str] | None = None,
-              out_dir: str | None = None) -> float:
+              out_dir: str | None = None, probe: bool = False,
+              log_dir: str | None = None) -> float:
     """Run one CLI stage; on a hang (per-stage ``timeout``) or crash, retry up
     to ``retries`` times with ``resume_extra`` appended (for training stages:
     ``TRAIN.AUTO_RESUME True``, so the retry continues from the newest
     checkpoint instead of restarting).  A wedged device tunnel — observed
     once in production: the chip stopped answering mid-epoch and the
     subprocess blocked forever on the device fence — then costs one timeout
-    window, not the whole run."""
+    window, not the whole run.
+
+    ``probe``: gate the launch on the shared device-liveness probe
+    (bench_common.wait_for_device) so a dead tunnel costs minutes of probing,
+    not a full ``timeout`` window of a silently hung subprocess.
+    ``log_dir``: experiment dir whose newest log feeds the wall breakdown
+    (defaults to ``out_dir``)."""
     resumed_from = preexisting_epoch(out_dir) if out_dir else None
     if resumed_from is not None:
         print(f"[{name}] NOTE: resuming from pre-existing epoch-{resumed_from} "
@@ -134,6 +264,14 @@ def run_stage(name: str, argv: list[str], results: list, env=None,
               flush=True)
     tic = time.time()
     for attempt in range(retries + 1):
+        if probe:
+            sys.path.insert(0, REPO)
+            from bench_common import wait_for_device
+
+            if not wait_for_device(max_wait_s=600, tag=name):
+                print(f"[{name}] device unreachable after probing; "
+                      f"launching anyway (the per-stage timeout bounds it)",
+                      flush=True)
         cmd = list(argv) + (resume_extra if attempt and resume_extra else [])
         print(f"\n=== [{name}] (attempt {attempt + 1}) {' '.join(cmd)}",
               flush=True)
@@ -150,6 +288,9 @@ def run_stage(name: str, argv: list[str], results: list, env=None,
            "attempts": attempt + 1}
     if resumed_from is not None:
         rec["resumed_from_epoch"] = resumed_from
+    bd = parse_log_breakdown(log_dir or out_dir, wall) if (log_dir or out_dir) else {}
+    if bd:
+        rec["breakdown"] = bd
     results.append(rec)
     print(json.dumps(rec), flush=True)
     assert code == 0, f"stage {name} failed ({code})"
@@ -186,7 +327,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=100)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--stages", default="1234567",
-                    help="subset of stage digits to run")
+                    help="subset of stage digits to run (8 = warm-compile-"
+                         "cache reruns of pose2pose + sdt_bp + test into "
+                         "fresh output dirs, quantifying the compile share "
+                         "the persistent cache eliminates)")
     ap.add_argument("--stage_timeout", type=float, default=5400,
                     help="seconds before a hung training stage is killed and "
                          "retried with TRAIN.AUTO_RESUME (0 = no timeout)")
@@ -197,9 +341,10 @@ def main():
                     help="pin SYS.PLATFORM in every stage (e.g. 'cpu' for a "
                          "smoke run while the TPU tunnel is down)")
     args = ap.parse_args()
+    probe = args.platform != "cpu"  # liveness-probe the chip before launching
     t_train = dict(timeout=args.stage_timeout or None, retries=2,
-                   resume_extra=["TRAIN.AUTO_RESUME", "True"])
-    t_light = dict(timeout=args.light_timeout or None, retries=1)
+                   resume_extra=["TRAIN.AUTO_RESUME", "True"], probe=probe)
+    t_light = dict(timeout=args.light_timeout or None, retries=1, probe=probe)
 
     data_root = os.path.join(args.root, "speakers")
     demo_wav = os.path.join(args.root, "demo_audio.wav")
@@ -277,10 +422,22 @@ def main():
             py, "main.py", "--config_file", "configs/voice2pose_sdt_bp.yaml",
             "--test_only", "--checkpoint", bp_ckpt, "--tag", "prod", *common,
             "VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT", ae_ckpt,
-            "SYS.OUTPUT_DIR", os.path.join(args.root, "out_test")], results, **t_light)
+            "SYS.OUTPUT_DIR", os.path.join(args.root, "out_test")], results,
+            log_dir=os.path.join(args.root, "out_test"), **t_light)
         m = grep_metrics(os.path.join(args.root, "out_test"))
         print("test metrics:", json.dumps(m), flush=True)
         results.append({"stage": "test_metrics", **m})
+        # Acceptance bands: converged metrics must land inside the documented
+        # ranges (an optimizer regression that converges to a worse optimum
+        # now FAILS the chain instead of logging different numbers).  Only
+        # enforced at the reference budget the bands were derived for.
+        if (args.train, args.epochs, args.batch) == (1024, 100, 32):
+            violations = check_acceptance(m)
+            results.append({"stage": "acceptance", "ok": not violations,
+                            "violations": violations,
+                            "bands": {k: list(v) for k, v in
+                                      ACCEPTANCE_BANDS.items()}})
+            assert not violations, f"acceptance bands violated: {violations}"
 
     if "6" in args.stages:
         run_stage("demo(wav->mp4)", [
@@ -288,7 +445,8 @@ def main():
             "--demo_input", demo_wav, "--checkpoint", bp_ckpt,
             "--tag", "prod", *common,
             "SYS.OUTPUT_DIR", os.path.join(args.root, "out_demo"),
-            "TEST.SAVE_VIDEO", "True"], results, **t_light)  # later KEY VALUE wins
+            "TEST.SAVE_VIDEO", "True"], results,
+            log_dir=os.path.join(args.root, "out_demo"), **t_light)  # later KEY VALUE wins
         vids = glob.glob(os.path.join(args.root, "out_demo", "*", "**", "*.mp4"),
                          recursive=True)
         print("demo artifacts:", vids, flush=True)
@@ -307,20 +465,81 @@ def main():
             os.path.join(args.root, "sdt_bp_prod.pth"), "--tag", "prod",
             *common, "SYS.OUTPUT_DIR", os.path.join(args.root, "out_export")],
             results, **t_light)
+        # throughput serving point: same checkpoint exported at batch 128
+        # (the measured v5e sweet spot, bench.py) so the zero-framework
+        # artifact path has its own frames/s number next to the in-framework
+        # one
+        run_stage("export(stablehlo,b128)", [
+            py, "main.py", "--config_file", "configs/voice2pose_sdt_bp.yaml",
+            "--checkpoint", bp_ckpt, "--export",
+            os.path.join(args.root, "serving_artifact_b128"),
+            "--export_batch", "128", "--tag", "prod",
+            *common, "SYS.OUTPUT_DIR", os.path.join(args.root, "out_export")],
+            results, **t_light)
         # close the loop: serve from the exported artifact with the standalone
-        # runner (imports nothing from the framework)
+        # runner (imports nothing from the framework), and slope-time the
+        # batch-128 artifact on the chip
+        bench_out = os.path.join(args.root, "served_bench.json")
         run_stage("serve(artifact)", [
             py, "serving/run_artifact.py",
             os.path.join(args.root, "serving_artifact"), demo_wav,
             os.path.join(args.root, "served_poses.npz")]
             + (["--platform", args.platform] if args.platform else []),
             results, **t_light)
+        run_stage("serve_bench(b128)", [
+            py, "serving/run_artifact.py",
+            os.path.join(args.root, "serving_artifact_b128"), demo_wav,
+            os.path.join(args.root, "served_poses_b128.npz"),
+            "--bench", "40", "--bench-out", bench_out]
+            + (["--platform", args.platform] if args.platform else []),
+            results, **t_light)
         import numpy as np
         poses = np.load(os.path.join(args.root, "served_poses.npz"))
         shp = {k: list(poses[k].shape) for k in poses.files}
-        print("served artifact output:", shp, flush=True)
-        results.append({"stage": "served_output", **{k: str(v)
-                                                     for k, v in shp.items()}})
+        with open(bench_out) as f:
+            served_fps = json.load(f)
+        print("served artifact output:", shp, served_fps, flush=True)
+        results.append({"stage": "served_output",
+                        "frames_per_sec_b128": served_fps["value"],
+                        "per_call_ms_b128": served_fps["per_call_ms"],
+                        **{k: str(v) for k, v in shp.items()}})
+
+    if "8" in args.stages:
+        # Warm-compile-cache reruns into FRESH output dirs (AUTO_RESUME would
+        # otherwise skip the training): the only difference from stages 1/2/5
+        # is that ~/.cache/sdt_jax is already populated, so the wall delta IS
+        # the compile share the persistent cache eliminates.
+        warm = {k: os.path.join(args.root, f"out_{k}_warm")
+                for k in ("p2p", "bp")}
+        run_stage("pose2pose-100ep-warm", [
+            py, "main.py", "--config_file", "configs/pose2pose.yaml",
+            "--tag", "prod", *common, "SYS.OUTPUT_DIR", warm["p2p"]],
+            results, out_dir=warm["p2p"], **t_train)
+        ae_warm = latest_ckpt(warm["p2p"])
+        run_stage("sdt_bp-100ep-warm", [
+            py, "main.py", "--config_file", "configs/voice2pose_sdt_bp.yaml",
+            "--tag", "prod", *common,
+            "VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT", ae_warm,
+            "SYS.OUTPUT_DIR", warm["bp"]], results, out_dir=warm["bp"],
+            **t_train)
+        run_stage("test_only(sdt_bp)-warm", [
+            py, "main.py", "--config_file", "configs/voice2pose_sdt_bp.yaml",
+            "--test_only", "--checkpoint", latest_ckpt(warm["bp"]),
+            "--tag", "prod", *common,
+            "VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT", ae_warm,
+            "SYS.OUTPUT_DIR", os.path.join(args.root, "out_test_warm")],
+            results, log_dir=os.path.join(args.root, "out_test_warm"),
+            **t_light)
+        m = grep_metrics(os.path.join(args.root, "out_test_warm"))
+        print("warm-chain test metrics:", json.dumps(m), flush=True)
+        results.append({"stage": "test_metrics_warm", **m})
+        # the warm chain is a full independent replicate: its converged
+        # metrics must land in the same acceptance bands
+        if (args.train, args.epochs, args.batch) == (1024, 100, 32):
+            violations = check_acceptance(m)
+            results.append({"stage": "acceptance_warm", "ok": not violations,
+                            "violations": violations})
+            assert not violations, f"acceptance bands violated: {violations}"
 
     total = time.time() - total_tic
     steps_per_epoch = -(-args.train // args.batch)

@@ -212,6 +212,151 @@ def profile_train_phases(batch: int):
         return rows
 
 
+def profile_train_phases_p2p(batch: int):
+    """Pose2Pose train-step floor analysis (PERF.md round-5 ask: is 544
+    steps/s at 6.1% MFU dispatch-bound, HBM-bound, or leaving throughput on
+    the table?).  Measures, on the chip:
+
+      - the composite roofline floor per phase (as the SDT-BP analysis),
+      - the host DISPATCH floor: back-to-back calls of a trivial jitted op,
+        fenced once — the per-call cost of just feeding the device through
+        the tunnel, which a 22-GFLOP step cannot amortize, and
+      - the scan-of-K chained step: K full train steps inside ONE dispatch
+        (lax.scan over the unjitted step body), giving the device-only step
+        time with dispatch amortized — the measured upper bound on any
+        STEPS_PER_DISPATCH-style batching.
+    """
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from speechdrivestemplates_tpu.config import get_cfg_defaults
+    from speechdrivestemplates_tpu.datasets.synthetic import make_synthetic_speaker
+    from speechdrivestemplates_tpu.pipelines import get_pipeline
+
+    PEAK_FLOPS = 197e12
+    PEAK_BW = 819e9
+
+    with tempfile.TemporaryDirectory() as tmp:
+        make_synthetic_speaker(tmp, "oliver", num_train=batch, num_dev=0)
+        cfg = get_cfg_defaults()
+        cfg.merge_from_file(os.path.join(os.path.dirname(__file__),
+                                         "configs", "pose2pose.yaml"))
+        cfg.DATASET.ROOT_DIR = tmp
+        cfg.DATASET.SPEAKER = "oliver"
+        cfg.TRAIN.BATCH_SIZE = batch
+        cfg.TRAIN.PRECISION = "bf16"
+        cfg.TRAIN.VALIDATE = False
+        cfg.TRAIN.SAVE_VIDEO = False
+        cfg.freeze()
+        pipe = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
+        pipe.setup_dataset(cfg, "train")
+        pipe.setup_model(cfg)
+        pipe.setup_optimizer()
+        db = pipe._device_batch(next(iter(pipe.train_dataloader)))
+        rng = jax.random.PRNGKey(0)
+        nf = cfg.DATASET.NUM_FRAMES
+
+        # phase 1: AE forward (encode + reparam + decode)
+        def fwd(state, batch, rng):
+            (pred, mu, logvar), _ = pipe._apply_ae(
+                state["params_ae"], state["batch_stats_ae"], batch["poses"],
+                nf, None, rng, True)
+            return pred
+
+        # phase 2: loss + grads, no optimizer
+        def fwd_bwd(state, batch, rng):
+            def loss_fn(params):
+                (pred, mu, logvar), _ = pipe._apply_ae(
+                    params, state["batch_stats_ae"], batch["poses"], nf,
+                    None, rng, True)
+                return pipe._losses(pred, batch["poses"], mu, logvar)["loss"]
+            return jax.grad(loss_fn)(state["params_ae"])
+
+        jfwd = jax.jit(fwd)
+        jbwd = jax.jit(fwd_bwd)
+        step_fn = pipe._get_step("train")
+        state = pipe.state
+
+        t_fwd = _slope_time(jfwd, (state, db, rng)) * 1e3
+        t_bwd = _slope_time(jbwd, (state, db, rng)) * 1e3
+
+        def chained(n, state):
+            tic = time.perf_counter()
+            for _ in range(n):
+                state, losses, _ = step_fn(state, db, rng)
+            float(losses["loss"])
+            return time.perf_counter() - tic, state
+
+        state, losses, _ = step_fn(state, db, rng)
+        float(losses["loss"])
+        _, state = chained(8, state)
+        t1d, state = chained(16, state)
+        t2d, state = chained(64, state)
+        t_step = (t2d - t1d) / 48 * 1e3
+
+        rows = [("AE forward (train mode)", t_fwd, _cost(jfwd, state, db, rng)),
+                ("AE fwd+bwd (grads)", t_bwd, _cost(jbwd, state, db, rng)),
+                ("full step (opt+bank+metrics)", t_step,
+                 _cost(step_fn, state, db, rng))]
+        print(f"\n== pose2pose train-step floor analysis, batch {batch} "
+              f"(peak {PEAK_FLOPS/1e12:.0f} TFLOP/s bf16, "
+              f"{PEAK_BW/1e9:.0f} GB/s HBM) ==")
+        print(f"  {'phase':<30} {'ms':>8} {'GFLOP':>9} {'GB':>7} "
+              f"{'MFU%':>6} {'floor ms':>9} {'x floor':>8}")
+        for name, ms, (flops, bts) in rows:
+            floor = max(flops / PEAK_FLOPS, bts / PEAK_BW) * 1e3
+            mfu = flops / (ms / 1e3) / PEAK_FLOPS * 100 if ms else 0.0
+            ratio = ms / floor if floor else float("nan")
+            print(f"  {name:<30} {ms:8.3f} {flops/1e9:9.2f} {bts/1e9:7.2f} "
+                  f"{mfu:6.1f} {floor:9.3f} {ratio:8.2f}")
+
+        # host dispatch floor: trivial op, back-to-back, fenced once
+        tiny = jax.jit(lambda x: x + 1.0)
+        z = jax.device_put(jnp.zeros((8, 128)))
+        tiny(z).block_until_ready()
+
+        def disp(n):
+            tic = time.perf_counter()
+            o = z
+            for _ in range(n):
+                o = tiny(o)
+            float(o[0, 0])
+            return time.perf_counter() - tic
+
+        d1, d2 = disp(64), disp(256)
+        t_disp = (d2 - d1) / 192 * 1e3
+        print(f"  {'dispatch floor (trivial op)':<30} {t_disp:8.3f}")
+
+        # scan-of-K: K full steps in ONE dispatch -> device-only step time
+        raw_step = getattr(step_fn, "__wrapped__", None)
+        if raw_step is not None:
+            K = 32
+
+            def k_steps(state, batch, rngs):
+                def body(s, r):
+                    new_s, losses, _ = raw_step(s, batch, r)
+                    return new_s, losses["loss"]
+                return jax.lax.scan(body, state, rngs)
+
+            jk = jax.jit(k_steps)
+            rngs = jax.random.split(rng, K)
+            t_scan = _slope_time(jk, (state, db, rngs)) * 1e3 / K
+            print(f"  {'scan-of-%d chained steps' % K:<30} {t_scan:8.3f}"
+                  f"   (device-only step, dispatch amortized)")
+            flops_step = _cost(step_fn, state, db, rng)[0]
+            if flops_step and t_scan:
+                print(f"  -> amortized MFU "
+                      f"{flops_step / (t_scan/1e3) / PEAK_FLOPS * 100:.1f}%; "
+                      f"per-step dispatch overhead "
+                      f"{max(0.0, t_step - t_scan):.3f} ms "
+                      f"({max(0.0, t_step - t_scan) / t_step * 100:.0f}% of "
+                      f"the measured step)")
+        else:
+            print("  (scan-of-K unavailable: jitted step has no __wrapped__)")
+
+
 def profile_train(batch: int):
     import tempfile
 
@@ -275,7 +420,7 @@ def profile_train(batch: int):
 
 def profile_shift_probe(n_planes: int = 128, C: int = 128):
     """Measure the cost structure that killed the round-2 fused stem kernel
-    (ops/stem_pallas.py): per-tap sub-tile-offset VMEM slices.  Pallas
+    (probes/stem_pallas.py): per-tap sub-tile-offset VMEM slices.  Pallas
     variants of the same 9-tap conv-as-matmul workload on a (H*W, C) plane:
 
       aligned   all 9 tap reads at offset 0 (pure MXU + aligned-read floor)
@@ -522,6 +667,10 @@ def main():
     ap.add_argument("--train-floor", action="store_true",
                     help="train-step speed-of-light bisect (fwd / fwd+bwd / "
                          "full step vs the composite roofline floor)")
+    ap.add_argument("--p2p-floor", action="store_true",
+                    help="same for the Pose2Pose step, plus the host "
+                         "dispatch floor and a scan-of-K chained-step "
+                         "measurement (device-only step time)")
     ap.add_argument("--shift-probe", action="store_true",
                     help="Pallas tap-shift cost probe (see profile_shift_probe)")
     ap.add_argument("--probe-c", type=int, default=128,
@@ -533,9 +682,9 @@ def main():
                          "formulation (matmul gradients)")
     args = ap.parse_args()
 
-    import bench
+    import bench_common
 
-    bench._enable_compile_cache()
+    bench_common.enable_compile_cache()
     if args.shift_probe:
         profile_shift_probe(C=args.probe_c)
         return
@@ -547,6 +696,9 @@ def main():
         return
     if args.train_floor:
         profile_train_phases(args.train_batch)
+        return
+    if args.p2p_floor:
+        profile_train_phases_p2p(args.train_batch)
         return
     profile_serving(args.batch)
     if not args.skip_train:

@@ -46,6 +46,12 @@ def setup_config():
                         help="convert --checkpoint to a reference-format "
                              "PyTorch .pth (model weights; see "
                              "utils/torch_export.py)")
+    parser.add_argument("--export_batch", type=int, default=1,
+                        help="batch size baked into the --export artifact "
+                             "(XLA serving contract: one artifact per batch "
+                             "shape; export several for several serving "
+                             "points — e.g. 1 for latency, 128 for "
+                             "throughput)")
     parser.add_argument("--export_platforms", type=str, default="cpu,tpu",
                         help="comma-separated lowering platforms baked into "
                              "the --export artifact (an artifact can only be "
@@ -91,6 +97,7 @@ def run(args, cfg):
         platforms = (None if args.export_platforms == "native"
                      else tuple(args.export_platforms.split(",")))
         meta = export_serving_fn(cfg, args.checkpoint, args.export,
+                                 batch_size=args.export_batch,
                                  platforms=platforms, pipeline=pipeline)
         print(f"exported {meta['bytes']} bytes to {args.export} "
               f"(platforms {meta['platforms']}, {meta['inputs']} -> "
@@ -115,6 +122,14 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", cfg.SYS.PLATFORM)
+
+    if cfg.SYS.COMPILE_CACHE_DIR:
+        # Persistent XLA compile cache: a warm production run skips the
+        # minutes of remote compile that dominated the round-4 stage walls
+        # (docs/PERF.md "Production workflow").
+        from speechdrivestemplates_tpu.utils.jax_cache import enable_compile_cache
+
+        enable_compile_cache(cfg.SYS.COMPILE_CACHE_DIR)
 
     if cfg.SYS.DISTRIBUTED:
         # Multi-host TPU slice: every host runs this same program; jax.distributed

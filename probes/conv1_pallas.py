@@ -10,7 +10,7 @@ kernel reads the RAW MEL (~70 KB/sample instead of ~4.4 MB/sample), computes
 conv1 + InstanceNorm + leaky-relu per sample entirely in VMEM, and writes the
 activation to HBM exactly once.
 
-Why this succeeds where ops/stem_pallas.py (the round-2 3-layer fusion, a
+Why this succeeds where probes/stem_pallas.py (the round-2 3-layer fusion, a
 documented negative result) lost to XLA — every expensive Mosaic pattern is
 designed out, guided by the tap-shift cost probe (bench_profile.py
 --shift-probe, measured 2026-08-17 on v5e):
@@ -45,15 +45,15 @@ MEASURED OUTCOME (v5e, batch 128, W=427, bf16; bench_profile.py
 vs the XLA composition, bf16 grade) but **11.2 ms vs 3.36 ms for XLA's own
 conv1+IN1 lowering** — a documented NEGATIVE result; the kernel is NOT wired
 into any model path.  Root cause (a different failure class than
-ops/stem_pallas.py): each of the 9 whole-plane elementwise tap FMAs is one
+probes/stem_pallas.py): each of the 9 whole-plane elementwise tap FMAs is one
 VMEM traversal that re-reads the 9 MB fp32 broadcast plane AND re-reads +
 re-writes the fp32 accumulator (~27 MB x 9 taps x 128 samples ~ 31 GB of
 VMEM traffic ~ 10 ms) — elementwise accumulation loops over whole-plane
 values do not keep the accumulator in registers.  The tap-matmul form
-(ops/stem_pallas.py style, probe-verified at ~89% of peak) avoids this, but
+(probes/stem_pallas.py style, probe-verified at ~89% of peak) avoids this, but
 for THIS layer it is K=9/K=16 MXU starvation, and XLA's 3.36 ms is already
 within ~1.7x of the segment's 3-pass VMEM/HBM floor — there is no meaningful
-headroom for any hand kernel here.  Together with ops/stem_pallas.py this
+headroom for any hand kernel here.  Together with probes/stem_pallas.py this
 closes the stem question from both directions: matmul-formulated fusion
 loses to padded-density FLOP waste, VPU-formulated fusion loses to
 whole-plane accumulate traffic.  Kept as a tested record with the probe data

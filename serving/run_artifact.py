@@ -62,6 +62,15 @@ def main():
                          "artifact must have been lowered for it. Without "
                          "this, jax picks — and a wedged remote accelerator "
                          "can block device enumeration indefinitely")
+    ap.add_argument("--bench", type=int, default=0, metavar="ITERS",
+                    help="after serving the wav, slope-time the artifact "
+                         "over ITERS device-resident calls (two run lengths "
+                         "cancel the fixed tunnel round-trip, as in "
+                         "bench.py) and print a frames/s JSON line — the "
+                         "zero-framework counterpart of the in-framework "
+                         "throughput number")
+    ap.add_argument("--bench-out", default=None, metavar="PATH",
+                    help="also write the --bench JSON record to PATH")
     args = ap.parse_args()
 
     import jax
@@ -94,6 +103,57 @@ def main():
     note = " (input clipped to the exported length)" if clipped else ""
     print(f"{poses.shape[0]} pose frames ({poses.shape[-1]} keypoints) "
           f"-> {args.out}{note}")
+
+    if args.bench:
+        import time
+
+        # Device-resident throughput, methodology identical to bench.py's
+        # in-framework number: several distinct pre-staged input buffers
+        # (cycled, so no call can be deduped), scalar-fetch completion fence
+        # (block_until_ready can ack at dispatch through remote tunnels),
+        # and a two-run-length slope that cancels the fixed round-trip.
+        rng = np.random.RandomState(0)
+        n_bufs = 4
+        audios = [jax.device_put(jnp.asarray(
+            rng.randn(B, L).astype(np.float32) * 0.1)) for _ in range(n_bufs)]
+        codes = [jax.device_put(jnp.asarray(
+            rng.randn(B, meta["code_dim"]).astype(np.float32)))
+            for _ in range(n_bufs)] if meta.get("code_dim") else None
+        jfn = jax.jit(fn)
+
+        def call(i):
+            a = audios[i % n_bufs]
+            return jfn(a, codes[i % n_bufs]) if codes else jfn(a)
+
+        def fence(o):
+            return float(np.asarray(o[(0,) * o.ndim]))
+
+        out = call(0)
+        fence(out)
+        for i in range(5):
+            out = call(i)
+        fence(out)
+
+        def timed(n):
+            tic = time.perf_counter()
+            o = out
+            for i in range(n):
+                o = call(i)
+            fence(o)
+            return time.perf_counter() - tic
+
+        n1, n2 = args.bench, args.bench * 4
+        t1, t2 = timed(n1), timed(n2)
+        per_call = (t2 - t1) / (n2 - n1)
+        frames_per_sec = B * meta["num_frames"] / per_call
+        rec = {"metric": "served_frames_per_sec", "value": round(frames_per_sec, 1),
+               "unit": "frames/s", "batch": B,
+               "per_call_ms": round(per_call * 1e3, 3),
+               "platforms": meta.get("platforms")}
+        print(json.dumps(rec))
+        if args.bench_out:
+            with open(args.bench_out, "w") as f:
+                json.dump(rec, f)
 
 
 if __name__ == "__main__":

@@ -357,7 +357,7 @@ def _build_defaults() -> CfgNode:
     _C.SYS.SEED = 0
     _C.TRAIN.PRECISION = "fp32"  # 'fp32' | 'bf16' (compute dtype for conv stacks)
     _C.SYS.MEL_IMPL = "auto"  # 'auto' | 'dft' | 'dft2' | 'rfft' | 'conv' | 'pallas'
-    # Fused Pallas audio-encoder stem on the inference path (ops/stem_pallas.py).
+    # Fused Pallas audio-encoder stem on the inference path (probes/stem_pallas.py).
     # Hardware-validated but measured SLOWER than XLA's conv lowering at the
     # batch-128 serving point (see the module docstring) — default off.
     _C.SYS.FUSED_STEM = False
@@ -379,6 +379,12 @@ def _build_defaults() -> CfgNode:
     # env var alone does not override it — only the in-process config does.
     # `SYS.PLATFORM cpu` keeps the whole CLI usable through an outage.
     _C.SYS.PLATFORM = ""
+    # Persistent XLA compilation cache directory (utils/jax_cache.py), shared
+    # by every CLI invocation: on remote-compile backends the first compile of
+    # a train/eval/demo step costs minutes that the cache eliminates on every
+    # later run.  '' disables.  The default is also overridable via the
+    # JAX_COMPILATION_CACHE_DIR env var.
+    _C.SYS.COMPILE_CACHE_DIR = "~/.cache/sdt_jax"
 
     return _C
 

@@ -30,7 +30,7 @@ class AudioEncoder(nn.Module):
 
     ``stem_weights`` (inference only): the first three conv kernels, passed by
     the caller to route layers 1-3 through the fused Pallas stem kernel
-    (ops/stem_pallas.py) instead of the HBM-bound XLA lowering.  Layer names
+    (probes/stem_pallas.py) instead of the HBM-bound XLA lowering.  Layer names
     are pinned explicitly so the parameter tree is identical on both paths.
     """
 
@@ -55,7 +55,9 @@ class AudioEncoder(nn.Module):
             assert not train, "fused stem is an inference-only path"
             assert self.norm == "IN", "fused stem covers IN-normalized encoders"
             assert t_mel_valid is None, "fused stem is a fixed-length path"
-            from ..ops.stem_pallas import fused_audio_encoder_stem
+            # only reachable when the caller resolved stem weights, which
+            # itself imports probes.stem_pallas (voice2pose._stem_weights)
+            from probes.stem_pallas import fused_audio_encoder_stem
 
             x = fused_audio_encoder_stem(
                 mel, *stem_weights, slope=0.2 if self.leaky else 0.0,

@@ -342,7 +342,12 @@ class Pose2Pose(Trainer):
 
     def _save_step_artifacts(self, tag, t_step, epoch, global_step, batch, results,
                              save_npz, save_video):
-        np_results = {k: np.asarray(v) for k, v in results.items() if v is not None}
+        if not (save_npz or save_video):
+            # nothing to save — above all, do NOT fetch (remote-tunnel result
+            # pulls dominated the production train wall; see voice2pose.py)
+            return
+        np_results = jax.device_get(
+            {k: v for k, v in results.items() if v is not None})
         if save_npz:
             self.save_results(tag, t_step, epoch, self.base_path, np_results)
         if save_video:

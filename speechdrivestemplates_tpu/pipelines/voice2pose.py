@@ -327,7 +327,17 @@ class Voice2Pose(Trainer):
             # mesh the eval step's batch is sharded and embedding the kernel
             # would fail to compile (or silently gather). Use the XLA path.
             return None
-        from ..ops.stem_pallas import stem_supported, stem_weights_from_params
+        try:
+            # Experimental kernel, shipped OUTSIDE the package next to its
+            # cost probes (measured slower than the XLA lowering at the
+            # production serving point — docs/PERF.md "Stem speed-of-light"):
+            # available from a repo checkout only.
+            from probes.stem_pallas import (stem_supported,
+                                            stem_weights_from_params)
+        except ImportError:
+            logging.warning("SYS.FUSED_STEM requires probes/stem_pallas.py "
+                            "(repo checkout); using the XLA stem")
+            return None
 
         dtype = (jnp.bfloat16 if self.cfg.TRAIN.PRECISION == "bf16"
                  else jnp.float32)
@@ -978,7 +988,15 @@ class Voice2Pose(Trainer):
     # -- host-side artifact saving ------------------------------------------------------
     def _save_step_artifacts(self, tag, t_step, epoch, global_step, batch, results,
                              save_npz: bool, save_video: bool):
-        np_results = {k: np.asarray(v) for k, v in results.items() if v is not None}
+        if not (save_npz or save_video):
+            # nothing to save — above all, do NOT fetch: pulling the full
+            # result arrays through a remote-device tunnel costs ~0.9 s per
+            # call and was measured to dominate the production train wall
+            # (docs/PERF.md "Production workflow", round 5)
+            return
+        # one batched fetch instead of a per-array np.asarray round-trip
+        np_results = jax.device_get(
+            {k: v for k, v in results.items() if v is not None})
         if save_npz:
             self.save_results(tag, t_step, epoch, self.base_path, np_results)
         if save_video:

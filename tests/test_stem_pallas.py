@@ -1,4 +1,4 @@
-"""Fused audio-encoder stem kernel (ops/stem_pallas.py) vs the XLA lowering.
+"""Fused audio-encoder stem kernel (probes/stem_pallas.py) vs the XLA lowering.
 
 Runs the Pallas kernel in interpret mode on CPU.  The float32 mode must match
 a plain-XLA reference of conv+InstanceNorm+LeakyReLU to round-off; bfloat16
@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 from speechdrivestemplates_tpu.models.blocks import NORM_EPS
-from speechdrivestemplates_tpu.ops import stem_pallas as SP
+from probes import stem_pallas as SP
 
 
 def ref_stem(mel, w1, w2, w3, slope=0.2):
@@ -74,7 +74,7 @@ def test_generator_forward_with_fused_stem(rng, monkeypatch):
     with the plain path (same variables, same input)."""
     monkeypatch.setattr(SP, "_FORCE_INTERPRET", True)
     from speechdrivestemplates_tpu.models.generator import SequenceGeneratorCNN
-    from speechdrivestemplates_tpu.ops.stem_pallas import stem_weights_from_params
+    from probes.stem_pallas import stem_weights_from_params
 
     gen = SequenceGeneratorCNN(num_landmarks=121, code_dim=32, norm="IN",
                                leaky=True, dtype=None)
