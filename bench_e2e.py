@@ -110,7 +110,9 @@ def parse_log_breakdown(out_dir: str, wall_s: float | None = None) -> dict:
     out["setup_s"] = t_begin - t0
     if epoch_ts:  # training stage
         walls = [b - a for a, b in zip([t_begin] + epoch_ts[:-1], epoch_ts)]
-        steady = sorted(walls)[len(walls) // 2]
+        # steady-state epoch: the fastest non-first epoch (median would be
+        # inflated by the epochs that also validated/checkpointed)
+        steady = min(walls[1:]) if len(walls) > 1 else walls[0]
         out["compile_s"] = max(0.0, walls[0] - steady)
         out["validate_s"] = val_s
         out["ckpt_s"] = ckpt_s

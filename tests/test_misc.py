@@ -234,3 +234,104 @@ def test_bench_supervisor_always_emits_json(monkeypatch, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert out == [good]
     assert calls["n"] == 2
+
+
+def test_bench_e2e_log_breakdown(tmp_path):
+    """The production stage records must explain their wall: parse a
+    synthetic training log into spawn/setup/compile/train/validate/ckpt
+    buckets (bench_e2e.parse_log_breakdown)."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from bench_e2e import parse_log_breakdown
+
+    exp = tmp_path / "2026-08-19_x_tag"
+    exp.mkdir()
+    lines = [
+        "2026-08-19 00:00:10,000 [INFO] log path: x.log",
+        "2026-08-19 00:00:30,000 [INFO] Training begins!",
+        # epoch 1 (compile-heavy): 100 s
+        "2026-08-19 00:02:10,000 [INFO] [TRAIN] epoch_time: 0.03 hours  ETA: 1",
+        # epoch 2: 10 s
+        "2026-08-19 00:02:20,000 [INFO] [TRAIN] epoch_time: 0.00 hours  ETA: 1",
+        # epoch 3 contains a validation (4 s) and a checkpoint (2.5 s)
+        "2026-08-19 00:02:21,000 [INFO] Validation begins!",
+        "2026-08-19 00:02:25,000 [INFO] [VAL] epoch: 3/3  val_time: 0.1 min",
+        "2026-08-19 00:02:30,000 [INFO] Finished async_save (blocking + "
+        "background). Time taken: 2.500000s. directory=/x",
+        "2026-08-19 00:02:36,000 [INFO] [TRAIN] epoch_time: 0.00 hours  ETA: 0",
+    ]
+    (exp / "tag.log").write_text("\n".join(lines) + "\n")
+
+    bd = parse_log_breakdown(str(tmp_path), wall_s=200.0)
+    assert bd["log_span_s"] == 146.0
+    assert bd["spawn_s"] == 54.0           # wall - log span
+    assert bd["setup_s"] == 20.0           # log open -> Training begins!
+    assert bd["epochs"] == 3
+    assert bd["steady_epoch_s"] == 10.0    # median epoch wall
+    assert bd["compile_s"] == 90.0         # first epoch minus steady
+    assert bd["validate_s"] == 4.0
+    assert bd["ckpt_s"] == 2.5
+    # steady train time: total epochs span minus compile/val/ckpt shares
+    assert bd["train_s"] == 126.0 - 90.0 - 4.0 - 2.5
+
+    # eval-style log (test/demo): compile bucket = time to the first step
+    exp2 = tmp_path / "2026-08-19_y_tag"
+    exp2.mkdir()
+    (exp2 / "t.log").write_text("\n".join([
+        "2026-08-19 01:00:00,000 [INFO] log path: t.log",
+        "2026-08-19 01:00:05,000 [INFO] Testing begins!",
+        "2026-08-19 01:02:05,000 [INFO] [TEST] epoch: 0/100  step: 1  Saved",
+        "2026-08-19 01:02:07,000 [INFO] [TEST] val_time: 2.0 min",
+    ]) + "\n")
+    # newest log wins (exp2 written after exp)
+    bd2 = parse_log_breakdown(str(tmp_path))
+    assert bd2["compile_s"] == 120.0 and bd2["eval_s"] == 2.0
+
+
+def test_bench_e2e_acceptance_bands():
+    """Converged production metrics must be checked against the documented
+    bands: in-band passes, a regression-scale value or a missing metric
+    fails (bench_e2e.check_acceptance)."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from bench_e2e import ACCEPTANCE_BANDS, check_acceptance
+
+    good = {"L2_dist": 153.9, "lip_sync_error_n": 0.80,
+            "FGD_mu": 24.3, "FGD_mu_logvar": 24.6}
+    assert check_acceptance(good) == []
+
+    # an untrained/regressed model (probes/untrained_metrics.py scale)
+    bad = dict(good, L2_dist=480.0, FGD_mu=2400.0)
+    violations = check_acceptance(bad)
+    assert any("L2_dist" in v for v in violations)
+    assert any("FGD_mu:" in v for v in violations)
+
+    # a silently missing metric is a failure, not a pass
+    missing = {k: v for k, v in good.items() if k != "FGD_mu"}
+    assert any("missing" in v for v in check_acceptance(missing))
+    assert set(ACCEPTANCE_BANDS) == set(good)
+
+
+def test_jax_cache_enable(tmp_path, monkeypatch):
+    """enable_compile_cache points jax at the requested directory, creates
+    it, and never raises (a missing cache degrades to a slow run)."""
+    import jax
+
+    from speechdrivestemplates_tpu.utils.jax_cache import enable_compile_cache
+
+    target = tmp_path / "cache" / "nested"
+    try:
+        got = enable_compile_cache(str(target))
+        assert got == str(target) and target.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(target)
+        # env-var fallback
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "env"))
+        assert enable_compile_cache() == str(tmp_path / "env")
+    finally:
+        # restore the suite's cache dir (conftest set it for every test)
+        import os
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR"))
