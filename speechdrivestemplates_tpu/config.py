@@ -284,6 +284,20 @@ def _build_defaults() -> CfgNode:
     _C.DATASET.AUDIO_SR = 16000  # audio sampling rate
     _C.DATASET.FPS = 15
     _C.DATASET.CACHING = False
+    # --- TPU-native addition: device-resident train set -------------------
+    # This model family's whole training set is small next to HBM (the
+    # reference 1,024-clip fixture is ~345 MB vs 16 GB on v5e), while the
+    # per-step host work (SoA gather + device_put through a possibly remote
+    # link) dominates the production epoch wall.  'auto'/'on' stages the
+    # train split's device keys in HBM ONCE and turns each step's batch into
+    # an on-device jitted gather by clip index — zero per-step host marshal.
+    # Engages only when: CACHING is True (the SoA arrays exist), the split is
+    # train, per-step artifact saving is off, the estimated bytes fit
+    # DEVICE_CACHE_MAX_MB, and the run is single-process (multi-host keeps
+    # the per-process loader shards).  Batch composition is bit-identical to
+    # the host path: the same DataLoader index schedule feeds both.
+    _C.DATASET.DEVICE_CACHE = "auto"  # 'auto' | 'on' (assert eligible) | 'off'
+    _C.DATASET.DEVICE_CACHE_MAX_MB = 2048
 
     _C.TRAIN = CfgNode()
     _C.TRAIN.NUM_EPOCHS = 100

@@ -365,12 +365,20 @@ class DataLoader:
         n = len(self._indices())
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def __iter__(self):
+    def index_batches(self) -> list:
+        """The epoch's batch schedule as index arrays — the single source of
+        batch composition for BOTH the host path (``__iter__``) and the
+        device-resident cache path (trainer ``_device_prefetch``), so the two
+        are bit-identical by construction."""
         indices = self._indices()
         batches = [indices[i: i + self.batch_size]
                    for i in range(0, len(indices), self.batch_size)]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        return batches
+
+    def __iter__(self):
+        batches = self.index_batches()
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()

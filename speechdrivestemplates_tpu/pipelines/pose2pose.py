@@ -232,13 +232,14 @@ class Pose2Pose(Trainer):
                                     else self._build_eval_step(multiple, valid))
         return self._jit_cache[key]
 
+    _DEVICE_KEYS = ("poses", "clip_index", "speaker_stat")
+
     def _device_batch(self, batch):
-        keys = ("poses", "clip_index", "speaker_stat")
-        return shard_batch(self.mesh, {k: batch[k] for k in keys if k in batch})
+        return shard_batch(self.mesh, {k: batch[k] for k in self._DEVICE_KEYS
+                                       if k in batch})
 
     def _device_eval_batch(self, batch):
-        keys = ("poses", "clip_index", "speaker_stat")
-        db = {k: batch[k] for k in keys if k in batch}
+        db = {k: batch[k] for k in self._DEVICE_KEYS if k in batch}
         db, valid, sig = pad_eval_batch(self.mesh, db)
         return shard_batch(self.mesh, db), valid, sig
 

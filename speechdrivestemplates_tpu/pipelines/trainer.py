@@ -30,6 +30,7 @@ from datetime import datetime
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..datasets import DataLoader, get_dataset
@@ -592,7 +593,18 @@ class Trainer:
         """Yield (host_batch, device_batch) with the NEXT batch's host->device
         transfer already enqueued while the current step computes.  jax transfers
         are async, so starting the device_put one step early hides H2D latency
-        behind the compiled step (the torch-DataLoader pin_memory analog)."""
+        behind the compiled step (the torch-DataLoader pin_memory analog).
+
+        When the device-resident dataset cache is engaged
+        (DATASET.DEVICE_CACHE), the host path is bypassed entirely: each batch
+        is a single jitted on-device gather by clip index (host_batch is None;
+        per-step artifact saving is off whenever the cache is, so nothing
+        downstream needs host arrays)."""
+        gather = self._device_cache_gather(loader)
+        if gather is not None:
+            for idx in loader.index_batches():
+                yield None, gather(idx)
+            return
         it = iter(loader)
         prev = None
         for batch in it:
@@ -606,6 +618,74 @@ class Trainer:
     def _device_batch(self, batch):
         """Pipelines override: select array keys and shard over the mesh."""
         raise NotImplementedError
+
+    # Pipelines set this to the batch keys their jitted steps consume; the
+    # device cache stages exactly these (voice2pose.py / pose2pose.py).
+    _DEVICE_KEYS: tuple = ()
+
+    def _device_cache_eligible(self, loader) -> str:
+        """'' when the device-resident train cache can engage for ``loader``,
+        else the human-readable reason it cannot."""
+        cfg = self.cfg
+        if cfg.DATASET.DEVICE_CACHE == "off":
+            return "DATASET.DEVICE_CACHE off"
+        if loader is not getattr(self, "train_dataloader", None):
+            return "not the train loader"
+        if not self._DEVICE_KEYS:
+            return "pipeline declares no device keys"
+        if not cfg.DATASET.CACHING:
+            return "needs DATASET.CACHING (SoA arrays)"
+        if cfg.TRAIN.SAVE_VIDEO or cfg.TRAIN.SAVE_NPZ:
+            return "per-step artifact saving needs host batches"
+        if jax.process_count() > 1:
+            return "multi-process runs keep per-host loader shards"
+        return ""
+
+    def _device_cache_gather(self, loader):
+        """Jitted index->device-batch gather over the HBM-resident train set,
+        or None when ineligible (see config.py DATASET.DEVICE_CACHE).  The
+        cache is staged once per run; every epoch after that moves only a
+        (B,)-int32 index array to the device per step."""
+        reason = self._device_cache_eligible(loader)
+        if reason:
+            if self.cfg.DATASET.DEVICE_CACHE == "on":
+                raise ValueError(f"DATASET.DEVICE_CACHE on, but: {reason}")
+            return None
+        cached = getattr(self, "_dev_cache", None)
+        if cached is not None:
+            return cached
+
+        from ..parallel.mesh import batch_sharding, replicated_sharding
+
+        soa = loader.dataset.materialize()
+        if soa is None:
+            return None
+        host = {k: soa[k] for k in self._DEVICE_KEYS if k in soa}
+        nbytes = sum(np.asarray(leaf).nbytes for leaf in jax.tree.leaves(host))
+        limit = self.cfg.DATASET.DEVICE_CACHE_MAX_MB * 1e6
+        if nbytes > limit:
+            msg = (f"train set ({nbytes/1e6:.0f} MB) exceeds "
+                   f"DATASET.DEVICE_CACHE_MAX_MB ({limit/1e6:.0f} MB)")
+            if self.cfg.DATASET.DEVICE_CACHE == "on":
+                raise ValueError(f"DATASET.DEVICE_CACHE on, but: {msg}")
+            logging.info("device cache disabled: %s", msg)
+            return None
+
+        rep = replicated_sharding(self.mesh)
+        cache_dev = jax.tree.map(lambda a: jax.device_put(a, rep), host)
+        sh = batch_sharding(self.mesh)
+        jgather = jax.jit(lambda cache, idx: jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(a[idx], sh), cache))
+
+        def gather(idx):
+            return jgather(cache_dev, jnp.asarray(np.asarray(idx),
+                                                  dtype=jnp.int32))
+
+        logging.info("device-resident train cache engaged: %.0f MB in HBM, "
+                     "per-step host traffic = one (B,) index array",
+                     nbytes / 1e6)
+        self._dev_cache = gather
+        return gather
 
     def _maybe_profile(self, cfg, global_step: int) -> None:
         """jax.profiler trace over SYS.PROFILE.NUM_STEPS steps starting at
