@@ -136,15 +136,17 @@ def parse_log_breakdown(out_dir: str, wall_s: float | None = None) -> dict:
 # result up to data order and eval-code sampling; the bands are the measured
 # round-4/round-5 production values widened to cover that sampling variation
 # (the eval samples N(0,I) template codes, reference voice2pose.py:92-122)
-# while still failing on any optimizer-class regression — a dead LR schedule,
-# a wrong-sign gradient, or a broken code bank multiplies L2/FGD well past
-# these limits (see the untrained-model row in docs/PERF.md for the measured
-# no-training values on this fixture).
+# while still failing on an optimizer-class regression.  The far end is
+# MEASURED (probes/untrained_metrics.py on this fixture): the untrained model
+# scores L2 210.5, FGD_mu 60.7, FGD_mu_logvar 62.2 — the upper edges sit
+# between the converged point and that floor.  lip_sync_error_n is NOT
+# discriminative on the synthetic fixture (untrained 0.83 lands near the
+# converged 0.80); it is kept as a sanity range only.
 ACCEPTANCE_BANDS = {
-    "L2_dist": (100.0, 200.0),        # measured: 153.9 (r4)
-    "lip_sync_error_n": (0.45, 1.10),  # measured: 0.80 (r4)
-    "FGD_mu": (2.0, 60.0),             # measured: 24.3 (r4)
-    "FGD_mu_logvar": (2.0, 60.0),      # measured: 24.6 (r4)
+    "L2_dist": (100.0, 185.0),        # converged 153.9 (r4+r5) | untrained 210.5
+    "lip_sync_error_n": (0.45, 1.10),  # converged 0.80 (sanity only, see above)
+    "FGD_mu": (2.0, 45.0),             # converged 24.3 | untrained 60.7
+    "FGD_mu_logvar": (2.0, 45.0),      # converged 24.6 | untrained 62.2
 }
 
 
@@ -476,7 +478,10 @@ def main():
             "--checkpoint", bp_ckpt, "--export",
             os.path.join(args.root, "serving_artifact_b128"),
             "--export_batch", "128", "--tag", "prod",
-            *common, "SYS.OUTPUT_DIR", os.path.join(args.root, "out_export")],
+            *common, "SYS.OUTPUT_DIR", os.path.join(args.root, "out_export"),
+            # the throughput serving point is bf16 (PERF.md headline); the
+            # batch-1 artifact above keeps the training precision
+            "TRAIN.PRECISION", "bf16"],
             results, **t_light)
         # close the loop: serve from the exported artifact with the standalone
         # runner (imports nothing from the framework), and slope-time the

@@ -302,8 +302,9 @@ def test_bench_e2e_acceptance_bands():
             "FGD_mu": 24.3, "FGD_mu_logvar": 24.6}
     assert check_acceptance(good) == []
 
-    # an untrained/regressed model (probes/untrained_metrics.py scale)
-    bad = dict(good, L2_dist=480.0, FGD_mu=2400.0)
+    # the MEASURED untrained model (probes/untrained_metrics.py, chip run):
+    # L2 and FGD must trip the bands even at this mild no-training scale
+    bad = dict(good, L2_dist=210.5, FGD_mu=60.7)
     violations = check_acceptance(bad)
     assert any("L2_dist" in v for v in violations)
     assert any("FGD_mu:" in v for v in violations)
