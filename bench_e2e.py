@@ -334,7 +334,10 @@ def main():
                     help="subset of stage digits to run (8 = warm-compile-"
                          "cache reruns of pose2pose + sdt_bp + test into "
                          "fresh output dirs, quantifying the compile share "
-                         "the persistent cache eliminates)")
+                         "the persistent cache eliminates; 9 = dispatch-"
+                         "amortized pose2pose rerun at "
+                         "TRAIN.STEPS_PER_DISPATCH=32, quantifying the host-"
+                         "dispatch share the chunked scan removes)")
     ap.add_argument("--stage_timeout", type=float, default=5400,
                     help="seconds before a hung training stage is killed and "
                          "retried with TRAIN.AUTO_RESUME (0 = no timeout)")
@@ -547,6 +550,22 @@ def main():
             results.append({"stage": "acceptance_warm", "ok": not violations,
                             "violations": violations})
             assert not violations, f"acceptance bands violated: {violations}"
+
+    if "9" in args.stages:
+        # Dispatch-amortized rerun of the dispatch-bound pose2pose stage:
+        # identical training at TRAIN.STEPS_PER_DISPATCH=32 (K steps per
+        # device dispatch, a lax.scan over the HBM-resident train cache) into
+        # a fresh output dir.  The wall/train_s delta vs pose2pose-100ep-warm
+        # IS the host-dispatch share the scan removes — the pose2pose step
+        # measured 88% dispatch overhead per call (docs/PERF.md "Pose2Pose
+        # train-step floor").
+        out_chunk = os.path.join(args.root, "out_p2p_chunked")
+        run_stage("pose2pose-100ep-chunked(K=32)", [
+            py, "main.py", "--config_file", "configs/pose2pose.yaml",
+            "--tag", "prod", *common,
+            "TRAIN.STEPS_PER_DISPATCH", "32",
+            "SYS.OUTPUT_DIR", out_chunk], results, out_dir=out_chunk,
+            **t_train)
 
     total = time.time() - total_tic
     steps_per_epoch = -(-args.train // args.batch)

@@ -325,6 +325,7 @@ def profile_train_phases_p2p(batch: int):
             float(o[0, 0])
             return time.perf_counter() - tic
 
+        disp(32)  # drain any enqueued work + absorb the first-fence cost
         d1, d2 = disp(64), disp(256)
         t_disp = (d2 - d1) / 192 * 1e3
         print(f"  {'dispatch floor (trivial op)':<30} {t_disp:8.3f}")
@@ -355,6 +356,65 @@ def profile_train_phases_p2p(batch: int):
                       f"the measured step)")
         else:
             print("  (scan-of-K unavailable: jitted step has no __wrapped__)")
+
+
+def profile_p2p_chunked(batch: int, k: int):
+    """End-to-end steps/s of the REAL chunked trainer path — the shipped fix
+    for the dispatch-bound pose2pose step (TRAIN.STEPS_PER_DISPATCH=K scanning
+    over the device-resident train cache; config.py, trainer.py) — measured
+    on the production-scale fixture (1024 clips, same as bench_e2e).  The
+    --p2p-floor scan-of-K number is the device-only upper bound; this one
+    includes the host chunk scheduling, index uploads, and epoch turnover."""
+    import tempfile
+
+    import jax
+
+    from speechdrivestemplates_tpu.config import get_cfg_defaults
+    from speechdrivestemplates_tpu.datasets.synthetic import make_synthetic_speaker
+    from speechdrivestemplates_tpu.pipelines import get_pipeline
+
+    with tempfile.TemporaryDirectory() as tmp:
+        n_train = max(1024, batch)
+        make_synthetic_speaker(tmp, "oliver", num_train=n_train, num_dev=0)
+        cfg = get_cfg_defaults()
+        cfg.merge_from_file(os.path.join(os.path.dirname(__file__),
+                                         "configs", "pose2pose.yaml"))
+        cfg.DATASET.ROOT_DIR = tmp
+        cfg.DATASET.SPEAKER = "oliver"
+        cfg.DATASET.CACHING = True
+        cfg.TRAIN.BATCH_SIZE = batch
+        cfg.TRAIN.PRECISION = "bf16"
+        cfg.TRAIN.VALIDATE = False
+        cfg.TRAIN.SAVE_VIDEO = False
+        cfg.TRAIN.SAVE_NPZ = False
+        cfg.TRAIN.STEPS_PER_DISPATCH = k
+        cfg.freeze()
+        pipe = get_pipeline(cfg.PIPELINE_TYPE)(cfg)
+        pipe.setup_dataset(cfg, "train")
+        pipe.setup_model(cfg)
+        pipe.setup_optimizer()
+        cache = pipe._chunk_cache_or_none(cfg)
+        assert cache is not None, "device cache must engage for the chunked path"
+
+        spe = len(pipe.train_dataloader)
+        pipe.step_tic = time.time()
+        pipe.train_dataloader.set_epoch(1)  # warm epoch: compiles K + remainder
+        gs = pipe._train_epoch_chunked(cfg, 1, 0, cache)
+
+        walls = []
+        for e in (2, 3, 4):
+            pipe.train_dataloader.set_epoch(e)
+            jax.block_until_ready(pipe.state["params_ae"])
+            tic = time.perf_counter()
+            gs = pipe._train_epoch_chunked(cfg, e, gs, cache)
+            jax.block_until_ready(pipe.state["params_ae"])
+            walls.append(time.perf_counter() - tic)
+        best = min(walls)
+        print(f"\n== pose2pose chunked dispatch, K={k}, batch {batch}, "
+              f"{spe} steps/epoch ==")
+        print(f"  epoch walls: {', '.join('%.3f s' % w for w in walls)}")
+        print(f"  {spe / best:,.1f} steps/s end-to-end "
+              f"({best / spe * 1e3:.3f} ms/step incl. host scheduling)")
 
 
 def profile_train(batch: int):
@@ -671,6 +731,11 @@ def main():
                     help="same for the Pose2Pose step, plus the host "
                          "dispatch floor and a scan-of-K chained-step "
                          "measurement (device-only step time)")
+    ap.add_argument("--p2p-chunked", action="store_true",
+                    help="end-to-end steps/s of the shipped chunked-dispatch "
+                         "trainer path (TRAIN.STEPS_PER_DISPATCH)")
+    ap.add_argument("--k", type=int, default=32,
+                    help="steps per dispatch for --p2p-chunked")
     ap.add_argument("--shift-probe", action="store_true",
                     help="Pallas tap-shift cost probe (see profile_shift_probe)")
     ap.add_argument("--probe-c", type=int, default=128,
@@ -699,6 +764,9 @@ def main():
         return
     if args.p2p_floor:
         profile_train_phases_p2p(args.train_batch)
+        return
+    if args.p2p_chunked:
+        profile_p2p_chunked(args.train_batch, args.k)
         return
     profile_serving(args.batch)
     if not args.skip_train:

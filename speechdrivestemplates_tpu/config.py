@@ -317,6 +317,20 @@ def _build_defaults() -> CfgNode:
     _C.TRAIN.VALIDATE = True
     _C.TRAIN.NUM_RESULT_SAMPLE = 2
     _C.TRAIN.CHECKPOINT_INTERVAL = 1  # epochs between checkpoint saves
+    # --- TPU-native addition: dispatch amortization ------------------------
+    # Run K train steps inside ONE device dispatch (lax.scan over on-device
+    # index gathers).  The pose2pose floor analysis (docs/PERF.md) measured
+    # the 22-GFLOP step at 88% host-dispatch overhead through a remote
+    # tunnel: 2.09 ms/step measured vs 0.251 ms device-only under scan.
+    # K > 1 bounds the per-step dispatch cost at 1/K of the per-call cost.
+    # Requires the device-resident train cache (DATASET.DEVICE_CACHE) to be
+    # engaged — the scan body gathers each step's batch from HBM by clip
+    # index, so batch composition stays bit-identical to the per-step path
+    # (same DataLoader index schedule, same per-step PRNG stream).  When the
+    # cache cannot engage, training falls back to one dispatch per step with
+    # a logged reason.  Log lines, preemption checks, and profiler windows
+    # land on chunk boundaries (LOG_INTERVAL is normally >> K).
+    _C.TRAIN.STEPS_PER_DISPATCH = 1
 
     _C.TEST = CfgNode()
     _C.TEST.BATCH_SIZE = 32

@@ -162,6 +162,13 @@ class Pose2Pose(Trainer):
 
     # -- jitted steps ---------------------------------------------------------------
     def _build_train_step(self):
+        return jax.jit(self._train_step_body(), donate_argnums=(0,))
+
+    def _train_step_body(self):
+        """Raw train step — jitted per step by ``_build_train_step`` or
+        scanned K-at-a-time by the base trainer's chunked-dispatch path
+        (TRAIN.STEPS_PER_DISPATCH; this 22-GFLOP step measured 88%
+        host-dispatch overhead per call, docs/PERF.md)."""
         opt = self.optimizers["optimizer"]
         num_frames = self.num_frames
 
@@ -196,7 +203,7 @@ class Pose2Pose(Trainer):
             new_state["step"] = state.get("step", 0) + 1
             return new_state, losses, results
 
-        return jax.jit(step, donate_argnums=(0,))
+        return step
 
     def _build_eval_step(self, multiple: int, valid=None):
         num_frames = self.num_frames

@@ -526,18 +526,23 @@ class Trainer:
             epoch_tic = time.time()
             self.step_tic = time.time()
             self.train_dataloader.set_epoch(epoch)
-            for t_step, (batch, db) in enumerate(
-                    self._device_prefetch(self.train_dataloader)):
-                global_step += 1
-                self._maybe_profile(cfg, global_step)
-                self.train_step(batch, t_step + 1, global_step, epoch,
-                                device_batch=db)
-                if self._preempt_agreed(cfg):
-                    self.save_checkpoint(epoch - 1, global_step)
-                    logging.warning(
-                        "Preemption checkpoint saved (epoch %d, step %d); "
-                        "exiting 143", epoch - 1, global_step)
-                    raise SystemExit(143)
+            chunk_cache = self._chunk_cache_or_none(cfg)
+            if chunk_cache is not None:
+                global_step = self._train_epoch_chunked(
+                    cfg, epoch, global_step, chunk_cache)
+            else:
+                for t_step, (batch, db) in enumerate(
+                        self._device_prefetch(self.train_dataloader)):
+                    global_step += 1
+                    self._maybe_profile(cfg, global_step)
+                    self.train_step(batch, t_step + 1, global_step, epoch,
+                                    device_batch=db)
+                    if self._preempt_agreed(cfg):
+                        self.save_checkpoint(epoch - 1, global_step)
+                        logging.warning(
+                            "Preemption checkpoint saved (epoch %d, step %d); "
+                            "exiting 143", epoch - 1, global_step)
+                        raise SystemExit(143)
 
             if epoch % cfg.TRAIN.CHECKPOINT_INTERVAL == 0:
                 # orbax saves are process-collective (unlike torch.save, which the
@@ -555,6 +560,11 @@ class Trainer:
                 fig_dict = self.draw_figure_epoch()
                 self.logger_writer_epoch("TRAIN", epoch_toc, epoch=epoch, ETA=ETA,
                                          figures=fig_dict)
+
+        if getattr(self, "_profiling", False):
+            # window extended past the last step — close the trace anyway
+            jax.profiler.stop_trace()
+            self._profiling = False
 
         if old_sigterm is not None:
             import signal
@@ -578,12 +588,12 @@ class Trainer:
         import jax
 
         if jax.process_count() == 1:
-            return self._preempted
+            return getattr(self, "_preempted", False)
         import numpy as np
         from jax.experimental import multihost_utils
 
         flags = multihost_utils.process_allgather(
-            np.asarray([self._preempted], dtype=np.int32))
+            np.asarray([getattr(self, "_preempted", False)], dtype=np.int32))
         return bool(np.asarray(flags).max())
 
     def on_epoch_end(self, epoch: int) -> None:
@@ -641,21 +651,21 @@ class Trainer:
             return "multi-process runs keep per-host loader shards"
         return ""
 
-    def _device_cache_gather(self, loader):
-        """Jitted index->device-batch gather over the HBM-resident train set,
-        or None when ineligible (see config.py DATASET.DEVICE_CACHE).  The
-        cache is staged once per run; every epoch after that moves only a
-        (B,)-int32 index array to the device per step."""
+    def _staged_device_cache(self, loader):
+        """The train split's device-key SoA tree staged in HBM (memoized), or
+        None when the cache is ineligible or over the size budget.  Shared by
+        the per-step gather path (``_device_cache_gather``) and the chunked
+        scan path (``_train_epoch_chunked``)."""
         reason = self._device_cache_eligible(loader)
         if reason:
             if self.cfg.DATASET.DEVICE_CACHE == "on":
                 raise ValueError(f"DATASET.DEVICE_CACHE on, but: {reason}")
             return None
-        cached = getattr(self, "_dev_cache", None)
+        cached = getattr(self, "_dev_cache_tree", None)
         if cached is not None:
             return cached
 
-        from ..parallel.mesh import batch_sharding, replicated_sharding
+        from ..parallel.mesh import replicated_sharding
 
         soa = loader.dataset.materialize()
         if soa is None:
@@ -672,7 +682,32 @@ class Trainer:
             return None
 
         rep = replicated_sharding(self.mesh)
-        cache_dev = jax.tree.map(lambda a: jax.device_put(a, rep), host)
+        self._dev_cache_tree = jax.tree.map(
+            lambda a: jax.device_put(a, rep), host)
+        logging.info("device-resident train cache engaged: %.0f MB in HBM, "
+                     "per-step host traffic = one (B,) index array",
+                     nbytes / 1e6)
+        return self._dev_cache_tree
+
+    def _device_cache_gather(self, loader):
+        """Jitted index->device-batch gather over the HBM-resident train set,
+        or None when ineligible (see config.py DATASET.DEVICE_CACHE).  The
+        cache is staged once per run; every epoch after that moves only a
+        (B,)-int32 index array to the device per step."""
+        reason = self._device_cache_eligible(loader)
+        if reason:
+            if self.cfg.DATASET.DEVICE_CACHE == "on":
+                raise ValueError(f"DATASET.DEVICE_CACHE on, but: {reason}")
+            return None
+        cached = getattr(self, "_dev_cache", None)
+        if cached is not None:
+            return cached
+        cache_dev = self._staged_device_cache(loader)
+        if cache_dev is None:
+            return None
+
+        from ..parallel.mesh import batch_sharding
+
         sh = batch_sharding(self.mesh)
         jgather = jax.jit(lambda cache, idx: jax.tree.map(
             lambda a: jax.lax.with_sharding_constraint(a[idx], sh), cache))
@@ -681,25 +716,129 @@ class Trainer:
             return jgather(cache_dev, jnp.asarray(np.asarray(idx),
                                                   dtype=jnp.int32))
 
-        logging.info("device-resident train cache engaged: %.0f MB in HBM, "
-                     "per-step host traffic = one (B,) index array",
-                     nbytes / 1e6)
         self._dev_cache = gather
         return gather
 
+    # -- dispatch amortization (TRAIN.STEPS_PER_DISPATCH) ------------------------
+    def _train_step_body(self):
+        """Pipelines return the RAW (unjitted) train step
+        ``(state, device_batch, rng) -> (new_state, losses, results)``.
+        The per-step path jits it directly; the chunked path scans it over K
+        on-device batch gathers (one dispatch per K steps — see config.py
+        TRAIN.STEPS_PER_DISPATCH and the floor analysis in docs/PERF.md)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} exposes no raw train-step body; "
+            "TRAIN.STEPS_PER_DISPATCH > 1 is unavailable for it")
+
+    def _get_train_scan(self, length: int):
+        """Jitted chunk executable: ``lax.scan`` of the raw train step over a
+        (L, B) clip-index schedule, each step's batch gathered from the
+        HBM-resident train cache inside the scan body.  One compile per
+        distinct chunk length (K, plus the epoch's remainder when
+        ``num_batches % K != 0``) — jit would retrace per idx shape anyway;
+        keying keeps one Python closure per compiled shape."""
+        cache = getattr(self, "_scan_cache", None)
+        if cache is None:
+            cache = self._scan_cache = {}
+        if length not in cache:
+            from ..parallel.mesh import batch_sharding
+
+            body_fn = self._train_step_body()
+            sh = batch_sharding(self.mesh)
+
+            def chunk(state, cache_dev, idx_chunk, rngs):
+                def body(st, per):
+                    idx, rng = per
+                    batch = jax.tree.map(
+                        lambda a: jax.lax.with_sharding_constraint(a[idx], sh),
+                        cache_dev)
+                    new_st, losses, _ = body_fn(st, batch, rng)
+                    return new_st, losses
+
+                return jax.lax.scan(body, state, (idx_chunk, rngs))
+
+            cache[length] = jax.jit(chunk, donate_argnums=(0,))
+        return cache[length]
+
+    def _chunk_cache_or_none(self, cfg):
+        """The staged device cache when this epoch should run chunked
+        (TRAIN.STEPS_PER_DISPATCH > 1 and the cache engages), else None —
+        with a one-time logged reason for the per-step fallback."""
+        if cfg.TRAIN.STEPS_PER_DISPATCH <= 1:
+            return None
+        cache_dev = self._staged_device_cache(self.train_dataloader)
+        if cache_dev is None and not getattr(self, "_warned_chunk_fb", False):
+            self._warned_chunk_fb = True
+            logging.warning(
+                "TRAIN.STEPS_PER_DISPATCH=%d needs the device-resident train "
+                "cache (%s); falling back to one dispatch per step",
+                cfg.TRAIN.STEPS_PER_DISPATCH,
+                self._device_cache_eligible(self.train_dataloader)
+                or "train set over DATASET.DEVICE_CACHE_MAX_MB")
+        return cache_dev
+
+    def _train_epoch_chunked(self, cfg, epoch: int, global_step: int,
+                             cache_dev) -> int:
+        """One training epoch at K = TRAIN.STEPS_PER_DISPATCH steps per device
+        dispatch; returns the advanced global_step.  Batch composition and the
+        per-step PRNG stream are bit-identical to the per-step path (same
+        ``index_batches()`` schedule, same ``_next_rng()`` sequence).
+        LOG_INTERVAL lines still appear per step — the scan returns stacked
+        (L,) loss rows and the matching rows are logged from the host.
+        Preemption checks and profiler windows land on chunk boundaries."""
+        K = cfg.TRAIN.STEPS_PER_DISPATCH
+        batches = self.train_dataloader.index_batches()
+        # the scan carries `step` inside the state; seed it so the carry
+        # pytree structure is identical on entry and exit
+        if "step" not in self.state:
+            self.state["step"] = jnp.asarray(0, jnp.int32)
+        t_step = 0
+        for c0 in range(0, len(batches), K):
+            chunk_idx = batches[c0:c0 + K]
+            L = len(chunk_idx)
+            idx = jnp.asarray(np.stack(chunk_idx), dtype=jnp.int32)
+            rngs = jnp.stack([self._next_rng() for _ in range(L)])
+            self._maybe_profile(cfg, global_step + 1)
+            scan_fn = self._get_train_scan(L)
+            self.state, losses = scan_fn(self.state, cache_dev, idx, rngs)
+            if self.is_master_process():
+                li = cfg.SYS.LOG_INTERVAL
+                rows = [j for j in range(L) if (t_step + j + 1) % li == 0]
+                if rows:
+                    host = jax.device_get(losses)
+                    for j in rows:
+                        self.logger_writer_step(
+                            "TRAIN", {k: v[j] for k, v in host.items()},
+                            t_step + j + 1, epoch, global_step + j + 1)
+            t_step += L
+            global_step += L
+            if self._preempt_agreed(cfg):
+                self.save_checkpoint(epoch - 1, global_step)
+                logging.warning(
+                    "Preemption checkpoint saved (epoch %d, step %d); "
+                    "exiting 143", epoch - 1, global_step)
+                raise SystemExit(143)
+        return global_step
+
     def _maybe_profile(self, cfg, global_step: int) -> None:
         """jax.profiler trace over SYS.PROFILE.NUM_STEPS steps starting at
-        SYS.PROFILE.START_STEP (the reference has no profiler; SURVEY §5)."""
+        SYS.PROFILE.START_STEP (the reference has no profiler; SURVEY §5).
+        Boundary checks are range-based, not exact-step: chunked dispatch
+        (TRAIN.STEPS_PER_DISPATCH) only visits chunk-start steps, so the
+        window opens/closes on the nearest chunk boundary instead."""
         if not cfg.SYS.PROFILE.ENABLED or not self.is_master_process():
             return
         start = cfg.SYS.PROFILE.START_STEP
-        if global_step == start:
+        end = start + cfg.SYS.PROFILE.NUM_STEPS
+        if not getattr(self, "_profiling", False) and start <= global_step < end:
             out = cfg.SYS.PROFILE.OUT_DIR or os.path.join(self.base_path, "profile")
             os.makedirs(out, exist_ok=True)
             logging.info("starting jax.profiler trace -> %s", out)
             jax.profiler.start_trace(out)
-        elif global_step == start + cfg.SYS.PROFILE.NUM_STEPS:
+            self._profiling = True
+        elif getattr(self, "_profiling", False) and global_step >= end:
             jax.profiler.stop_trace()
+            self._profiling = False
             logging.info("stopped jax.profiler trace")
 
     def validate(self, test_dataloader, epoch):

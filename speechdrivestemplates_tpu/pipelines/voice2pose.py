@@ -509,7 +509,11 @@ class Voice2Pose(Trainer):
             self.cfg.DATASET.HIERARCHICAL_POSE, self.cfg.DATASET.NUM_LANDMARKS)
 
     # -- the jitted steps -------------------------------------------------------------
-    def _build_train_step(self, num_frames: int):
+    def _train_step_body(self):
+        """Raw train step — jitted per step by ``_get_train_step`` or scanned
+        K-at-a-time by the base trainer's chunked-dispatch path
+        (TRAIN.STEPS_PER_DISPATCH, config.py)."""
+        num_frames = self.num_frames
         gen_opt = self.optimizers["optimizerG"]
         code_opt = self.optimizers.get("optimizerClipCode")
         disc_opt = self.optimizers.get("optimizerD_pose")
@@ -590,7 +594,7 @@ class Voice2Pose(Trainer):
             new_state["step"] = state.get("step", 0) + 1
             return new_state, losses, results
 
-        return jax.jit(step, donate_argnums=(0,))
+        return step
 
     def _build_eval_step(self, num_frames: int, valid=None):
         mel_impl = self.cfg.SYS.MEL_IMPL
@@ -645,7 +649,8 @@ class Voice2Pose(Trainer):
     def _get_train_step(self):
         key = ("train", self.num_frames)
         if key not in self._jit_cache:
-            self._jit_cache[key] = self._build_train_step(self.num_frames)
+            self._jit_cache[key] = jax.jit(self._train_step_body(),
+                                           donate_argnums=(0,))
         return self._jit_cache[key]
 
     def _get_eval_step(self, num_frames: int, t_mel: int, valid=None,
