@@ -3,6 +3,7 @@ from .mesh import (  # noqa: F401
     shard_batch,
     pad_eval_batch,
     replicate,
+    device_init,
     process_count,
     process_index,
     is_master_process,

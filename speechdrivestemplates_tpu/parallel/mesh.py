@@ -124,13 +124,41 @@ def pad_eval_batch(mesh: Mesh, batch: Any):
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
     """Place a pytree fully replicated across the mesh (every process passes
-    the same host values; multi-process assembly via make_array_from_callback)."""
+    the same host values; multi-process assembly via make_array_from_callback).
+
+    Single-process this is ONE ``jax.device_put`` over the whole tree, not a
+    per-leaf map: on a remote-dispatch backend each put is a round-trip, and
+    a few hundred parameter tensors uploaded one by one cost minutes of pure
+    latency.  Leaves already committed to the target sharding pass through
+    untouched, so re-replicating a partially host-mutated state only moves
+    the mutated leaves."""
     sh = replicated_sharding(mesh)
     if jax.process_count() == 1:
-        return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+        return jax.device_put(tree, sh)
 
     def put(x):
+        if isinstance(x, jax.Array) and getattr(x, "sharding", None) == sh:
+            return x
         x = np.asarray(x)
         return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
 
     return jax.tree.map(put, tree)
+
+
+def device_init(mesh: Mesh, fn, *args) -> Any:
+    """Build an initial state pytree ON the devices as one jitted program.
+
+    Eager module/optimizer init on a remote-dispatch backend issues one
+    device call per parameter tensor (latency-bound through a tunnel, minutes
+    for a few hundred leaves); jitting the whole init collapses it into a
+    single dispatch.  ``out_shardings`` pins every leaf to the replicated
+    NamedSharding that the train step's outputs carry, so the second train
+    dispatch sees avals identical to the first and the program is never
+    retraced/recompiled (a bare ``jnp.zeros`` leaf differs from the step's
+    output aval and silently doubles every stage's compile cost).
+
+    The PRNG keys (or any other non-static inputs) must come in through
+    ``*args``, NOT closure captures: a zero-argument program is one big
+    compile-time constant and XLA's constant folder will evaluate the entire
+    init inside the compiler (minutes), instead of on the accelerator."""
+    return jax.jit(fn, out_shardings=replicated_sharding(mesh))(*args)

@@ -26,7 +26,7 @@ import optax
 
 from ..models import build_model
 from ..ops import pose as pose_ops
-from ..parallel import pad_eval_batch, replicate, shard_batch
+from ..parallel import device_init, pad_eval_batch, replicate, shard_batch
 from ..utils.viz import (draw_pose_frames_in_long_img, vis_relative_pose_clip,
                          vis_relative_pose_pair_clip)
 from .trainer import Trainer
@@ -47,18 +47,24 @@ class Pose2Pose(Trainer):
 
         self.ae = build_model(cfg.POSE2POSE.AUTOENCODER.NAME, cfg)
         init_rng, self._train_rng = jax.random.split(rng)
-        poses0 = jnp.zeros((1, self.num_frames, 2, cfg.DATASET.NUM_LANDMARKS))
-        variables = self.ae.init({"params": init_rng, "reparam": init_rng},
-                                 poses0, self.num_frames, None, True)
-
         n = self.num_train_samples or 1
-        self.state: Dict[str, Any] = {
-            "params_ae": variables["params"],
-            "batch_stats_ae": variables.get("batch_stats", {}),
-            "clip_code_mu": jnp.zeros((n, code_dim), jnp.float32),
-            "clip_code_logvar": jnp.zeros((n, code_dim), jnp.float32),
-        }
-        self.state = replicate(self.mesh, self.state)
+
+        def _init_state(rng) -> Dict[str, Any]:
+            poses0 = jnp.zeros((1, self.num_frames, 2, cfg.DATASET.NUM_LANDMARKS))
+            variables = self.ae.init({"params": rng, "reparam": rng},
+                                     poses0, self.num_frames, None, True)
+            return {
+                "params_ae": variables["params"],
+                "batch_stats_ae": variables.get("batch_stats", {}),
+                "clip_code_mu": jnp.zeros((n, code_dim), jnp.float32),
+                "clip_code_logvar": jnp.zeros((n, code_dim), jnp.float32),
+                # seeded at init so the train step's state pytree (which
+                # returns an advanced "step") never changes structure or aval
+                # after the first dispatch — see parallel.mesh.device_init
+                "step": jnp.asarray(0, jnp.int32),
+            }
+
+        self.state: Dict[str, Any] = device_init(self.mesh, _init_state, init_rng)
 
     def setup_optimizer(self, checkpoint=None, last_epoch: int = -1):
         cfg = self.cfg
@@ -69,7 +75,12 @@ class Pose2Pose(Trainer):
         self._lr_fns = {"optimizer": sched if callable(sched)
                         else (lambda _s, v=sched: v)}
         self.optimizers = {"optimizer": _adam(sched, cfg.TRAIN.WD)}
-        self.state["opt"] = self.optimizers["optimizer"].init(self.state["params_ae"])
+        # jitted init: one dispatch, replicated out-shardings (device_init doc)
+        from ..parallel.mesh import replicated_sharding
+
+        self.state["opt"] = jax.jit(
+            self.optimizers["optimizer"].init,
+            out_shardings=replicated_sharding(self.mesh))(self.state["params_ae"])
         self.state = replicate(self.mesh, self.state)
 
     def current_lrs(self) -> Dict[str, float]:

@@ -789,9 +789,16 @@ class Trainer:
         K = cfg.TRAIN.STEPS_PER_DISPATCH
         batches = self.train_dataloader.index_batches()
         # the scan carries `step` inside the state; seed it so the carry
-        # pytree structure is identical on entry and exit
+        # pytree structure is identical on entry and exit.  Placement must
+        # match the scan output's replicated sharding — a bare host scalar has
+        # a different aval and forces a full retrace+recompile of the chunk
+        # program on the SECOND epoch (pipelines seed it at init; this covers
+        # states restored from pre-"step" checkpoints)
         if "step" not in self.state:
-            self.state["step"] = jnp.asarray(0, jnp.int32)
+            from ..parallel.mesh import replicated_sharding
+
+            self.state["step"] = jax.device_put(
+                jnp.asarray(0, jnp.int32), replicated_sharding(self.mesh))
         t_step = 0
         for c0 in range(0, len(batches), K):
             chunk_idx = batches[c0:c0 + K]

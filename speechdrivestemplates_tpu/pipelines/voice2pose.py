@@ -36,7 +36,7 @@ from ..models import build_model
 from ..ops import pose as pose_ops
 from ..ops.fgd import compute_fgd
 from ..ops.mel import mel_frames_for_audio_length, mel_spectrogram
-from ..parallel import pad_eval_batch, replicate, shard_batch
+from ..parallel import device_init, pad_eval_batch, replicate, shard_batch
 from ..utils.viz import (draw_pose_frames_in_long_img, vis_relative_pose_clip,
                          vis_relative_pose_pair_clip)
 from .trainer import Trainer
@@ -110,50 +110,63 @@ class Voice2Pose(Trainer):
         self.generator = build_model(cfg.VOICE2POSE.GENERATOR.NAME, cfg)
         g_rng, d_rng, pe_rng, self._eval_rng = jax.random.split(rng, 4)
 
-        mel0 = jnp.zeros((1, 80, T_mel), jnp.float32)
         code_dim = cfg.VOICE2POSE.GENERATOR.CLIP_CODE.DIMENSION
-        code0 = jnp.zeros((1, code_dim), jnp.float32) if self.has_code else None
-        g_vars = self.generator.init(g_rng, mel0, self.num_frames, code0, True)
-        self.state: Dict[str, Any] = {
-            "params_g": g_vars["params"],
-            "batch_stats_g": g_vars.get("batch_stats", {}),
-        }
+        if self.has_disc:
+            self.discriminator = build_model(cfg.VOICE2POSE.POSE_DISCRIMINATOR.NAME, cfg)
+        if self.has_pe:
+            self.pose_encoder = build_model(cfg.VOICE2POSE.POSE_ENCODER.NAME, cfg)
 
-        # learned template bank (reference voice2pose.py:63-70) or external bank from a
-        # Pose2Pose checkpoint (voice2pose.py:40-57)
-        if self.has_code:
-            if self.external_code:
-                self.state["clips_code"] = jnp.asarray(self._load_external_code(cfg))
-            else:
+        def _init_state(g_rng, d_rng, pe_rng) -> Dict[str, Any]:
+            mel0 = jnp.zeros((1, 80, T_mel), jnp.float32)
+            code0 = jnp.zeros((1, code_dim), jnp.float32) if self.has_code else None
+            g_vars = self.generator.init(g_rng, mel0, self.num_frames, code0, True)
+            st: Dict[str, Any] = {
+                "params_g": g_vars["params"],
+                "batch_stats_g": g_vars.get("batch_stats", {}),
+                # seeded at init so the train step's state pytree (which
+                # returns an advanced "step") never changes structure or aval
+                # after the first dispatch — see parallel.mesh.device_init
+                "step": jnp.asarray(0, jnp.int32),
+            }
+
+            # learned template bank (reference voice2pose.py:63-70); an external
+            # bank from a Pose2Pose checkpoint is loaded host-side below
+            if self.has_code and not self.external_code:
                 n = self.num_train_samples
                 if n is None:
                     n = 1  # overwritten by checkpoint load in eval modes
                 shape = ((n, code_dim, cfg.DATASET.NUM_FRAMES)
                          if cfg.VOICE2POSE.GENERATOR.CLIP_CODE.FRAME_VARIANT
                          else (n, code_dim))
-                self.state["clips_code"] = jnp.zeros(shape, jnp.float32)
+                st["clips_code"] = jnp.zeros(shape, jnp.float32)
 
-        if self.has_disc:
-            self.discriminator = build_model(cfg.VOICE2POSE.POSE_DISCRIMINATOR.NAME, cfg)
-            t_in = (self.num_frames - 1 if cfg.VOICE2POSE.POSE_DISCRIMINATOR.MOTION
-                    else self.num_frames)
-            wl = cfg.VOICE2POSE.POSE_DISCRIMINATOR.WHITE_LIST
-            k_in = len(wl) if wl is not None else cfg.DATASET.NUM_LANDMARKS
-            d_vars = self.discriminator.init(
-                d_rng, jnp.zeros((1, t_in, 2, k_in)), True)
-            self.state["params_d"] = d_vars["params"]
-            self.state["batch_stats_d"] = d_vars.get("batch_stats", {})
+            if self.has_disc:
+                t_in = (self.num_frames - 1 if cfg.VOICE2POSE.POSE_DISCRIMINATOR.MOTION
+                        else self.num_frames)
+                wl = cfg.VOICE2POSE.POSE_DISCRIMINATOR.WHITE_LIST
+                k_in = len(wl) if wl is not None else cfg.DATASET.NUM_LANDMARKS
+                d_vars = self.discriminator.init(
+                    d_rng, jnp.zeros((1, t_in, 2, k_in)), True)
+                st["params_d"] = d_vars["params"]
+                st["batch_stats_d"] = d_vars.get("batch_stats", {})
 
-        if self.has_pe:
-            self.pose_encoder = build_model(cfg.VOICE2POSE.POSE_ENCODER.NAME, cfg)
-            pe_vars = self.pose_encoder.init(
-                pe_rng, jnp.zeros((1, self.num_frames, 2, cfg.DATASET.NUM_LANDMARKS)),
-                True)
-            self.state["params_pe"] = pe_vars["params"]
-            self.state["batch_stats_pe"] = pe_vars.get("batch_stats", {})
-            if cfg.VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT is not None:
-                self._load_pose_encoder(cfg.VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT)
+            if self.has_pe:
+                pe_vars = self.pose_encoder.init(
+                    pe_rng,
+                    jnp.zeros((1, self.num_frames, 2, cfg.DATASET.NUM_LANDMARKS)),
+                    True)
+                st["params_pe"] = pe_vars["params"]
+                st["batch_stats_pe"] = pe_vars.get("batch_stats", {})
+            return st
 
+        self.state: Dict[str, Any] = device_init(self.mesh, _init_state,
+                                                 g_rng, d_rng, pe_rng)
+
+        # host-side fills (file loads), then one batched re-replicate
+        if self.has_code and self.external_code:
+            self.state["clips_code"] = jnp.asarray(self._load_external_code(cfg))
+        if self.has_pe and cfg.VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT is not None:
+            self._load_pose_encoder(cfg.VOICE2POSE.POSE_ENCODER.AE_CHECKPOINT)
         self.state = replicate(self.mesh, self.state)
 
     def _mel_frames(self, audio_length: int) -> int:
@@ -230,19 +243,30 @@ class Voice2Pose(Trainer):
             return _adam(sched, cfg.TRAIN.WD if label == "optimizerG" else 0.0)
 
         self.optimizers = {"optimizerG": make("optimizerG", cfg.TRAIN.LR)}
-        self.state["opt_g"] = self.optimizers["optimizerG"].init(self.state["params_g"])
-
         if self.has_disc:
             self.optimizers["optimizerD_pose"] = make("optimizerD_pose", cfg.TRAIN.LR)
-            self.state["opt_d"] = self.optimizers["optimizerD_pose"].init(
-                self.state["params_d"])
-
         if self.has_code and not self.external_code:
             lr = cfg.TRAIN.LR * cfg.VOICE2POSE.GENERATOR.CLIP_CODE.LR_SCALING
             self.optimizers["optimizerClipCode"] = make("optimizerClipCode", lr)
-            self.state["opt_code"] = self.optimizers["optimizerClipCode"].init(
-                self.state["clips_code"])
 
+        # all optimizer states in one jitted dispatch, replicated out-shardings
+        # (see parallel.mesh.device_init — eager optax init is one device op
+        # per parameter leaf, minutes of latency on a remote backend)
+        from ..parallel.mesh import replicated_sharding
+
+        def _init_opts(params_g, params_d, clips_code):
+            opts = {"opt_g": self.optimizers["optimizerG"].init(params_g)}
+            if self.has_disc:
+                opts["opt_d"] = self.optimizers["optimizerD_pose"].init(params_d)
+            if self.has_code and not self.external_code:
+                opts["opt_code"] = self.optimizers["optimizerClipCode"].init(
+                    clips_code)
+            return opts
+
+        self.state.update(jax.jit(
+            _init_opts, out_shardings=replicated_sharding(self.mesh))(
+            self.state["params_g"], self.state.get("params_d"),
+            self.state.get("clips_code")))
         self.state = replicate(self.mesh, self.state)
 
     def current_lrs(self) -> Dict[str, float]:
